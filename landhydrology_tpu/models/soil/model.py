@@ -1,0 +1,116 @@
+"""Soil component-model lattice and the top-level SoilModel.
+
+TPU-native re-design of ``/root/reference/src/SoilModel/models.jl``: the
+Julia type-dispatch lattice (2 energy x 2 hydrology variants) becomes a
+config lattice of frozen dataclasses; ``make_rhs`` (rhs.py) selects pure
+functions by ``isinstance`` at trace time, so jit specializes each combo with
+zero runtime dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from landhydrology_tpu.constants import EarthParameterSet, default_earth_param_set
+from landhydrology_tpu.domains import Column
+from landhydrology_tpu.models.base import AbstractModel
+from landhydrology_tpu.models.soil.params import SoilParams
+from landhydrology_tpu.models.soil.water import (
+    AbstractConductivityFactor,
+    NoEffect,
+    vanGenuchten,
+)
+
+Array = Any
+
+
+class AbstractSoilComponentModel:
+    """Supertype of the soil component models (cf. ``models.jl:7``)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class SoilEnergyModel(AbstractSoilComponentModel):
+    """Solve the soil heat PDE for rho_e_int (cf. ``models.jl:17``)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class SoilHydrologyModel(AbstractSoilComponentModel):
+    """Solve Richards equation for vartheta_l (cf. ``models.jl:28-33``)."""
+
+    hydraulic_model: vanGenuchten = dataclasses.field(default_factory=vanGenuchten)
+    viscosity_factor: AbstractConductivityFactor = dataclasses.field(
+        default_factory=NoEffect
+    )
+    impedance_factor: AbstractConductivityFactor = dataclasses.field(
+        default_factory=NoEffect
+    )
+
+
+def _default_T_profile(z, t):
+    """288 K everywhere — the viscosity-effect reference temperature
+    (cf. ``models.jl:53``)."""
+    return jnp.full_like(z, 288.0)
+
+
+def _default_zero_profile(z, t):
+    return jnp.zeros_like(z)
+
+
+@dataclasses.dataclass(frozen=True)
+class PrescribedTemperatureModel(AbstractSoilComponentModel):
+    """Prescribe T(z, t) instead of solving the heat PDE
+    (cf. ``models.jl:51-54``)."""
+
+    T_profile: Callable[[Array, Array], Array] = _default_T_profile
+
+
+@dataclasses.dataclass(frozen=True)
+class PrescribedHydrologyModel(AbstractSoilComponentModel):
+    """Prescribe vartheta_l(z, t) and theta_i(z, t) instead of solving
+    Richards equation (cf. ``models.jl:73-78``)."""
+
+    vartheta_l_profile: Callable[[Array, Array], Array] = _default_zero_profile
+    theta_i_profile: Callable[[Array, Array], Array] = _default_zero_profile
+
+
+@dataclasses.dataclass(frozen=True)
+class SoilModel(AbstractModel):
+    """The soil column model aggregate (cf. ``models.jl:90-135``).
+
+    A pure configuration object: ``make_rhs(model)`` compiles it into the
+    tendency function; ``initialize_states(model, ic, t0)`` allocates state.
+    ``dtype`` is an explicit config axis (the reference threads a Julia FT
+    type parameter through everything; SURVEY.md §5).
+    """
+
+    domain: Column
+    energy_model: AbstractSoilComponentModel = dataclasses.field(
+        default_factory=SoilEnergyModel
+    )
+    hydrology_model: AbstractSoilComponentModel = dataclasses.field(
+        default_factory=SoilHydrologyModel
+    )
+    boundary_conditions: Any = None  # SoilColumnBC; typed in boundary.py
+    soil_param_set: SoilParams = dataclasses.field(default_factory=SoilParams)
+    earth_param_set: EarthParameterSet = default_earth_param_set
+    name: str = "soil"
+    dtype: Any = None  # None -> canonical default float (f64 if x64 enabled)
+
+    @property
+    def float_dtype(self):
+        if self.dtype is not None:
+            return jnp.dtype(self.dtype)
+        return jnp.result_type(jnp.zeros((), jnp.float64))
+
+    def default_initial_conditions(self):
+        """Default ICs: isothermal at T_0, no ice, vartheta_l = nu/2
+        (cf. ``models.jl:147-166``).  Only defined for the fully dynamic
+        (SoilEnergyModel, SoilHydrologyModel) combination."""
+        from landhydrology_tpu.models.soil.initial_conditions import (
+            default_initial_conditions,
+        )
+
+        return default_initial_conditions(self)

@@ -1,0 +1,284 @@
+"""RHS assembly — the spatial discretization of the soil PDEs.
+
+TPU-native re-design of
+``/root/reference/src/SoilModel/right_hand_side.jl``.  ``make_rhs(model)``
+dispatches on the (energy, hydrology) component types at trace time and
+returns a pure function ``rhs(Y, Ya, t) -> dY`` over dict pytrees of
+``(nz, *batch)`` arrays:
+
+- (Prescribed, Prescribed) -> no-op (``right_hand_side.jl:103-112``)
+- (Prescribed, SoilHydrology) -> Richards only:
+  d vartheta_l/dt = -div(-K grad h), h = psi + z (``:118-186``)
+- (SoilEnergy, Prescribed) -> heat only:
+  d rho_e_int/dt = -div(-kappa grad T) (``:192-263``)
+- (SoilEnergy, SoilHydrology) -> fully coupled, adds the advected liquid
+  internal energy flux -rho_e_int_liq K grad h (``:269-369``)
+
+Everything is one fused pointwise sweep + 2-point vertical stencils; XLA
+fuses the whole body into a handful of kernels, and ``ops/pallas`` provides
+the explicitly fused multi-step kernel for the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from landhydrology_tpu.domains import ColumnGrid, make_function_space
+from landhydrology_tpu.models.soil import heat as sh
+from landhydrology_tpu.models.soil import water as sw
+from landhydrology_tpu.models.soil.boundary import boundary_fluxes
+from landhydrology_tpu.models.soil.model import (
+    PrescribedHydrologyModel,
+    PrescribedTemperatureModel,
+    SoilEnergyModel,
+    SoilHydrologyModel,
+    SoilModel,
+)
+from landhydrology_tpu.ops.stencil import diffusive_flux_faces, div_f2c
+
+Array = Any
+
+
+# --------------------------------------------------------------------------
+# Auxiliary-state update (cf. right_hand_side.jl:54-96)
+# --------------------------------------------------------------------------
+
+
+def make_update_aux(component) -> Callable[[dict, Array, str], dict]:
+    """Return ``update_aux(Ya, t, name) -> Ya`` refreshing prescribed fields
+    from their (z, t) profiles; identity for dynamic components
+    (cf. ``right_hand_side.jl:54-96``).  Functional: returns a new dict."""
+    if isinstance(component, PrescribedTemperatureModel):
+
+        def update_aux(Ya: dict, t: Array, name: str = "soil") -> dict:
+            zc = Ya["zc"]
+            soil = dict(Ya[name], T=component.T_profile(zc, t))
+            return dict(Ya, **{name: soil})
+
+        return update_aux
+
+    if isinstance(component, PrescribedHydrologyModel):
+
+        def update_aux(Ya: dict, t: Array, name: str = "soil") -> dict:
+            zc = Ya["zc"]
+            soil = dict(
+                Ya[name],
+                vartheta_l=component.vartheta_l_profile(zc, t),
+                theta_i=component.theta_i_profile(zc, t),
+            )
+            return dict(Ya, **{name: soil})
+
+        return update_aux
+
+    def update_aux(Ya: dict, t: Array, name: str = "soil") -> dict:
+        return Ya
+
+    return update_aux
+
+
+# --------------------------------------------------------------------------
+# Shared physics sweeps
+# --------------------------------------------------------------------------
+
+
+def hydrology_center_fields(model: SoilModel, vartheta_l, theta_i, T):
+    """Pointwise hydraulic fields on centers: (theta_l, K, psi)
+    (cf. ``right_hand_side.jl:156-166``)."""
+    sp = model.soil_param_set
+    hydrology = model.hydrology_model
+    hm = hydrology.hydraulic_model
+    nu_eff = sp.nu - theta_i
+    theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+    f_i = sw.ice_fraction_of_water(theta_l, theta_i)
+    viscosity_f = sw.viscosity_factor(hydrology.viscosity_factor, T)
+    impedance_f = sw.impedance_factor(hydrology.impedance_factor, f_i)
+    S = sw.effective_saturation(sp.nu, vartheta_l, hm.theta_r)
+    K = sw.hydraulic_conductivity(hm, S, viscosity_f, impedance_f)
+    psi = sw.pressure_head(hm, vartheta_l, nu_eff, sp.S_s)
+    return theta_l, K, psi
+
+
+def energy_center_fields(model: SoilModel, theta_l, theta_i, rho_e_int=None, T=None):
+    """Pointwise thermal fields on centers: (T, kappa, rho_c_s)
+    (cf. ``right_hand_side.jl:209-224``).  Either ``rho_e_int`` (dynamic
+    energy: T is diagnosed) or ``T`` (prescribed) must be given."""
+    sp = model.soil_param_set
+    param_set = model.earth_param_set
+    rho_c_s = sh.volumetric_heat_capacity(theta_l, theta_i, sp.rho_c_ds, param_set)
+    if T is None:
+        T = sh.temperature_from_rho_e_int(rho_e_int, theta_i, rho_c_s, param_set)
+    kappa_dry = sh.k_dry(param_set, sp)
+    S_r = sh.relative_saturation(theta_l, theta_i, sp.nu)
+    kersten = sh.kersten_number(theta_i, S_r, sp)
+    kappa_sat = sh.saturated_thermal_conductivity(
+        theta_l, theta_i, sp.kappa_sat_unfrozen, sp.kappa_sat_frozen
+    )
+    kappa = sh.thermal_conductivity(kappa_dry, kersten, kappa_sat)
+    return T, kappa, rho_c_s
+
+
+def _face_fluxes(model, grid, X, t):
+    """Boundary fluxes at both faces (cf. ``right_hand_side.jl:134-149``)."""
+    bcs = model.boundary_conditions
+    return {
+        "bottom": boundary_fluxes(X, bcs.bottom, "bottom", model, grid, t),
+        "top": boundary_fluxes(X, bcs.top, "top", model, grid, t),
+    }
+
+
+# --------------------------------------------------------------------------
+# make_rhs — 4-way static dispatch (cf. right_hand_side.jl:33-44)
+# --------------------------------------------------------------------------
+
+
+def make_rhs(model: SoilModel, grid: ColumnGrid | None = None):
+    """Build ``rhs(Y, Ya, t) -> dY`` for the model's component combination
+    (cf. ``right_hand_side.jl:33-44``).
+
+    The returned function first refreshes prescribed aux fields (the
+    reference's ``update_aux!``), then evaluates the tendencies.
+    """
+    if grid is None:
+        grid = make_function_space(model.domain, model.float_dtype)
+    update_aux_en = make_update_aux(model.energy_model)
+    update_aux_hydr = make_update_aux(model.hydrology_model)
+    rhs_soil = _make_rhs_soil(model.energy_model, model.hydrology_model, model, grid)
+
+    def rhs(Y: dict, Ya: dict, t: Array) -> dict:
+        Ya = update_aux_en(Ya, t, model.name)
+        Ya = update_aux_hydr(Ya, t, model.name)
+        return rhs_soil(Y, Ya, t)
+
+    return rhs
+
+
+def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
+    name = model.name
+    dz = grid.dz
+
+    if isinstance(energy, PrescribedTemperatureModel) and isinstance(
+        hydrology, PrescribedHydrologyModel
+    ):
+        # no dynamics (cf. right_hand_side.jl:103-112)
+        def rhs(Y, Ya, t):
+            return {name: {}} if name in Y else {}
+
+        return rhs
+
+    if isinstance(energy, PrescribedTemperatureModel) and isinstance(
+        hydrology, SoilHydrologyModel
+    ):
+        # Richards only (cf. right_hand_side.jl:118-186)
+        def rhs(Y, Ya, t):
+            vartheta_l = Y[name]["vartheta_l"]
+            theta_i = Y[name]["theta_i"]
+            T = jnp.broadcast_to(Ya[name]["T"], vartheta_l.shape)
+            zc = Ya["zc"]
+
+            theta_l, K, psi = hydrology_center_fields(model, vartheta_l, theta_i, T)
+            h = psi + zc
+
+            X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
+            fluxes = _face_fluxes(model, grid, X, t)
+
+            water_flux = diffusive_flux_faces(K, h, dz)
+            d_vartheta_l = -div_f2c(
+                water_flux,
+                fluxes["bottom"]["f_vartheta_l"],
+                fluxes["top"]["f_vartheta_l"],
+                dz,
+            )
+            return {
+                name: {
+                    "vartheta_l": d_vartheta_l,
+                    "theta_i": jnp.zeros_like(theta_i),
+                }
+            }
+
+        return rhs
+
+    if isinstance(energy, SoilEnergyModel) and isinstance(
+        hydrology, PrescribedHydrologyModel
+    ):
+        # heat only (cf. right_hand_side.jl:192-263)
+        def rhs(Y, Ya, t):
+            rho_e_int = Y[name]["rho_e_int"]
+            vartheta_l = jnp.broadcast_to(Ya[name]["vartheta_l"], rho_e_int.shape)
+            theta_i = jnp.broadcast_to(Ya[name]["theta_i"], rho_e_int.shape)
+
+            sp = model.soil_param_set
+            nu_eff = sp.nu - theta_i
+            theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+            T, kappa, _ = energy_center_fields(
+                model, theta_l, theta_i, rho_e_int=rho_e_int
+            )
+
+            X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
+            fluxes = _face_fluxes(model, grid, X, t)
+
+            heat_flux = diffusive_flux_faces(kappa, T, dz)
+            d_rho_e_int = -div_f2c(
+                heat_flux,
+                fluxes["bottom"]["f_rho_e_int"],
+                fluxes["top"]["f_rho_e_int"],
+                dz,
+            )
+            return {name: {"rho_e_int": d_rho_e_int}}
+
+        return rhs
+
+    if isinstance(energy, SoilEnergyModel) and isinstance(hydrology, SoilHydrologyModel):
+        # fully coupled (cf. right_hand_side.jl:269-369)
+        def rhs(Y, Ya, t):
+            vartheta_l = Y[name]["vartheta_l"]
+            theta_i = Y[name]["theta_i"]
+            rho_e_int = Y[name]["rho_e_int"]
+            zc = Ya["zc"]
+
+            sp = model.soil_param_set
+            param_set = model.earth_param_set
+            nu_eff = sp.nu - theta_i
+            theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+            T, kappa, _ = energy_center_fields(
+                model, theta_l, theta_i, rho_e_int=rho_e_int
+            )
+            rho_e_int_l = sh.volumetric_internal_energy_liq(T, param_set)
+            _, K, psi = hydrology_center_fields(model, vartheta_l, theta_i, T)
+            h = psi + zc
+
+            X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
+            fluxes = _face_fluxes(model, grid, X, t)
+
+            water_flux = diffusive_flux_faces(K, h, dz)  # -K grad h on faces
+            d_vartheta_l = -div_f2c(
+                water_flux,
+                fluxes["bottom"]["f_vartheta_l"],
+                fluxes["top"]["f_vartheta_l"],
+                dz,
+            )
+            # energy flux: -kappa grad T - rho_e_int_l K grad h
+            # (cf. right_hand_side.jl:361-365)
+            energy_flux = diffusive_flux_faces(kappa, T, dz) + diffusive_flux_faces(
+                rho_e_int_l * K, h, dz
+            )
+            d_rho_e_int = -div_f2c(
+                energy_flux,
+                fluxes["bottom"]["f_rho_e_int"],
+                fluxes["top"]["f_rho_e_int"],
+                dz,
+            )
+            return {
+                name: {
+                    "vartheta_l": d_vartheta_l,
+                    "theta_i": jnp.zeros_like(theta_i),
+                    "rho_e_int": d_rho_e_int,
+                }
+            }
+
+        return rhs
+
+    raise TypeError(
+        f"Unsupported component combination ({energy!r}, {hydrology!r})"
+    )

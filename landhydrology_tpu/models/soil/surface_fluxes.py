@@ -1,0 +1,264 @@
+"""Turbulent land-atmosphere surface fluxes via Monin-Obukhov similarity.
+
+TPU-native replacement for the reference's SurfaceFluxes.jl /
+Thermodynamics.jl dependency
+(``/root/reference/src/SoilModel/boundary_conditions.jl:555-620``): a
+vectorized, fixed-iteration-count MOST solver (SURVEY.md §7 hard part 4),
+plus the few saturation-humidity helpers the soil model needs.
+
+Scheme: Businger (1971) universal functions with point-value (DG-style)
+profile relations as in Nishizawa & Kitamura (2018):
+
+    x_star = kappa * (x_atm - x_sfc)
+             / (ln(z/z_0) - psi(z/L) + psi(z_0/L))
+
+iterated to a fixed point of the Obukhov length
+``L = u_star^2 theta_scale / (kappa g theta_v_star)``.  Everything is
+elementwise over the column batch, with a compile-time-fixed iteration
+count (``lax.fori_loop``) so the solve jits and vmaps cleanly; branchy
+stability functions are masked, NaN-safe selects.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from landhydrology_tpu.constants import EarthParameterSet
+from landhydrology_tpu.models.soil import water as sw
+from landhydrology_tpu.models.soil.model import (
+    SoilEnergyModel,
+    SoilHydrologyModel,
+    SoilModel,
+)
+
+Array = Any
+
+#: Businger stable-regime slope and turbulent Prandtl number
+_BUSINGER_A = 4.7
+_PRANDTL_0 = 0.74
+#: fixed iteration count of the Obukhov-length fixed point
+_N_ITER = 30
+#: stability-parameter clamp — keeps the universal functions in-domain
+_ZETA_MIN, _ZETA_MAX = -100.0, 100.0
+
+
+# --------------------------------------------------------------------------
+# Moist-thermodynamics helpers (Thermodynamics.jl surface)
+# --------------------------------------------------------------------------
+
+
+def saturation_vapor_pressure_liquid(param_set: EarthParameterSet, T: Array) -> Array:
+    """Clausius-Clapeyron saturation vapor pressure over liquid with
+    constant heat capacities (Thermodynamics.jl `saturation_vapor_pressure`
+    with `Liquid()`)."""
+    dcp = param_set.cp_v - param_set.cp_l
+    return (
+        param_set.press_triple
+        * (T / param_set.T_triple) ** (dcp / param_set.R_v)
+        * jnp.exp(
+            (param_set.LH_v0 - dcp * param_set.T_0)
+            / param_set.R_v
+            * (1.0 / param_set.T_triple - 1.0 / T)
+        )
+    )
+
+
+def q_vap_saturation_liquid(
+    param_set: EarthParameterSet, T: Array, rho: Array
+) -> Array:
+    """Saturation specific humidity over a plane liquid surface
+    (Thermodynamics.jl `q_vap_saturation_generic(..., Liquid())`)."""
+    return saturation_vapor_pressure_liquid(param_set, T) / (
+        rho * param_set.R_v * T
+    )
+
+
+def cp_m(param_set: EarthParameterSet, q_tot: Array) -> Array:
+    """Isobaric specific heat of moist air with all moisture in vapor
+    (Thermodynamics.jl `cp_m(PhasePartition(q_tot))`)."""
+    return param_set.cp_d + (param_set.cp_v - param_set.cp_d) * q_tot
+
+
+# --------------------------------------------------------------------------
+# Businger universal functions — masked, NaN-safe
+# --------------------------------------------------------------------------
+
+
+def psi_m(zeta: Array) -> Array:
+    """Integrated momentum stability function (Businger 1971)."""
+    zeta = jnp.clip(zeta, _ZETA_MIN, _ZETA_MAX)
+    zeta_un = jnp.minimum(zeta, 0.0)
+    x = (1.0 - 15.0 * zeta_un) ** 0.25
+    unstable = (
+        jnp.log((1.0 + x) ** 2 * (1.0 + x * x) / 8.0)
+        - 2.0 * jnp.arctan(x)
+        + jnp.pi / 2.0
+    )
+    stable = -_BUSINGER_A * jnp.maximum(zeta, 0.0)
+    return jnp.where(zeta < 0.0, unstable, stable)
+
+
+def psi_h(zeta: Array) -> Array:
+    """Integrated scalar (heat/moisture) stability function (Businger 1971)."""
+    zeta = jnp.clip(zeta, _ZETA_MIN, _ZETA_MAX)
+    zeta_un = jnp.minimum(zeta, 0.0)
+    y = jnp.sqrt(1.0 - 9.0 * zeta_un)
+    unstable = 2.0 * jnp.log((1.0 + y) / 2.0)
+    stable = -_BUSINGER_A / _PRANDTL_0 * jnp.maximum(zeta, 0.0)
+    return jnp.where(zeta < 0.0, unstable, stable)
+
+
+# --------------------------------------------------------------------------
+# The MOST fixed-point solve
+# --------------------------------------------------------------------------
+
+
+def surface_conditions(
+    param_set: EarthParameterSet,
+    u_atm: Array,
+    theta_atm: Array,
+    q_atm: Array,
+    u_sfc: Array,
+    theta_sfc: Array,
+    q_sfc: Array,
+    z_atm: Array,
+    z_0m: Array,
+    z_0s: Array,
+    theta_scale: Array,
+) -> dict:
+    """Solve MOST for the scales ``(u_star, theta_star, q_star)`` and the
+    Obukhov length ``L`` (the role of SurfaceFluxes.jl `surface_conditions`,
+    ``boundary_conditions.jl:595-604``).
+
+    Fully vectorized over any broadcastable batch of columns; fixed
+    ``_N_ITER`` damped fixed-point iterations on the inverse Obukhov length
+    (convergence is monitored by the returned ``delta`` residual).
+    """
+    kappa = param_set.von_karman_const
+    g = param_set.grav
+    du = u_atm - u_sfc
+    dtheta = theta_atm - theta_sfc
+    dq = q_atm - q_sfc
+
+    log_m = jnp.log(z_atm / z_0m)
+    log_s = jnp.log(z_atm / z_0s)
+
+    shape = jnp.broadcast_shapes(
+        *(jnp.shape(a) for a in (du, dtheta, dq, z_atm, z_0m, z_0s, theta_scale))
+    )
+    dtype = jnp.result_type(du, dtheta, dq, theta_scale)
+    Linv0 = jnp.zeros(shape, dtype=dtype)  # start neutral
+
+    def stars(Linv):
+        zeta = z_atm * Linv
+        zeta_0m = z_0m * Linv
+        zeta_0s = z_0s * Linv
+        denom_m = log_m - psi_m(zeta) + psi_m(zeta_0m)
+        denom_s = log_s - psi_h(zeta) + psi_h(zeta_0s)
+        # keep denominators away from 0 (can cross in extreme instability)
+        denom_m = jnp.maximum(denom_m, 1e-3)
+        denom_s = jnp.maximum(denom_s, 1e-3)
+        u_star = kappa * du / denom_m
+        theta_star = kappa * dtheta / denom_s
+        q_star = kappa * dq / denom_s
+        return u_star, theta_star, q_star
+
+    def body(i, carry):
+        Linv, _ = carry
+        u_star, theta_star, q_star = stars(Linv)
+        # virtual potential temperature scale (moisture buoyancy included)
+        eps_vi = param_set.molmass_ratio - 1.0  # ~0.608
+        theta_v_star = theta_star * (1.0 + eps_vi * q_atm) + eps_vi * theta_scale * q_star
+        u_star_safe = jnp.maximum(u_star, 1e-6)
+        Linv_new = kappa * g * theta_v_star / (u_star_safe**2 * theta_scale)
+        # damped update for robustness near neutrality
+        Linv_next = 0.5 * Linv + 0.5 * Linv_new
+        delta = jnp.abs(Linv_next - Linv)
+        return (Linv_next, delta)
+
+    Linv, delta = jax.lax.fori_loop(0, _N_ITER, body, (Linv0, jnp.zeros_like(Linv0)))
+    u_star, theta_star, q_star = stars(Linv)
+    L = jnp.where(jnp.abs(Linv) > 1e-30, 1.0 / Linv, jnp.inf)
+    return {
+        "x_star": (u_star, theta_star, q_star),
+        "L_mo": L,
+        "residual": delta,
+    }
+
+
+# --------------------------------------------------------------------------
+# The soil-facing flux computation (boundary_conditions.jl:555-620)
+# --------------------------------------------------------------------------
+
+
+def compute_turbulent_surface_fluxes(
+    energy,
+    hydrology,
+    model: SoilModel,
+    vartheta_l: Array,
+    theta_i: Array,
+    T: Array,
+) -> tuple:
+    """Surface (heat flux, water volume flux) from MOST given the soil
+    surface state (cf. ``boundary_conditions.jl:555-620``).
+
+    Requires dynamic energy + hydrology components (the reference raises a
+    MethodError otherwise; ``test_prescribed_atmos_bc.jl:161-184``).
+    Returns fluxes positive along +z (upward).
+    """
+    if not isinstance(energy, SoilEnergyModel) or not isinstance(
+        hydrology, SoilHydrologyModel
+    ):
+        raise TypeError(
+            "Turbulent surface fluxes require dynamic SoilEnergyModel and "
+            "SoilHydrologyModel components."
+        )
+
+    atmos = model.boundary_conditions.top
+    sp = model.soil_param_set
+    param_set = model.earth_param_set
+    hm = hydrology.hydraulic_model
+
+    # soil-moisture-corrected surface specific humidity
+    # (boundary_conditions.jl:575-587)
+    q_sat = q_vap_saturation_liquid(param_set, T, atmos.rho_a_sfc)
+    nu_eff = sp.nu - theta_i
+    theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+    S_l_eff = jnp.minimum(
+        sw.effective_saturation(nu_eff, theta_l, hm.theta_r), 1.0
+    )
+    psi = sw.matric_potential(hm, S_l_eff)
+    correction = jnp.exp(param_set.grav * psi / param_set.R_v / T)
+    q_surf = q_sat * correction
+
+    conditions = surface_conditions(
+        param_set,
+        u_atm=atmos.u_atm,
+        theta_atm=atmos.theta_atm,
+        q_atm=atmos.q_atm,
+        u_sfc=jnp.zeros_like(T),
+        theta_sfc=T,
+        q_sfc=q_surf,
+        z_atm=atmos.z_atm,
+        z_0m=sp.z_0m,
+        z_0s=sp.z_0s,
+        theta_scale=atmos.theta_scale,
+    )
+    u_star, t_star, q_star = conditions["x_star"]
+
+    cpm = cp_m(param_set, q_surf)
+    T_ref = param_set.T_0
+    h_d = param_set.cp_d * (T - T_ref) + param_set.R_d * T_ref
+
+    # fluxes of energy and water volume (boundary_conditions.jl:613-619)
+    E = -atmos.rho_a_sfc * u_star * q_star
+    dry_static_energy_flux = -cpm * atmos.rho_a_sfc * u_star * t_star - h_d * E
+    vapor_static_energy_flux = (
+        param_set.cp_v * (T - T_ref) + param_set.LH_v0
+    ) * E
+    E_vol = E / param_set.rho_cloud_liq  # soil model needs a volume flux
+    heat_flux = dry_static_energy_flux + vapor_static_energy_flux
+    return heat_flux, E_vol

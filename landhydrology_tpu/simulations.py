@@ -1,0 +1,174 @@
+"""Simulation driver — jit-compiled time integration with strided saving.
+
+TPU-native replacement for the reference's Simulations layer
+(``/root/reference/src/Simulations/simulation.jl``): instead of wrapping a
+DiffEq integrator object, a :class:`Simulation` compiles the whole stepping
+loop into one ``lax.scan`` program:
+
+- outer scan over save intervals, inner scan over steps (the reference's
+  ``saveat`` machinery, ``richards_equation.jl:67``);
+- prescribed-field updates happen inside the rhs (``make_update_aux``), so
+  the auxiliary state is loop-invariant and stays resident on device;
+- the saved trajectory is a stacked pytree (leading axis = save index),
+  the jit analogue of DiffEq's ``sol.u``.
+
+``step()``/``run()`` mirror the reference's ``step!``/``run!``
+(``simulation.jl:79-87``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from landhydrology_tpu.models.soil.rhs import make_rhs
+from landhydrology_tpu.timestepping import AbstractTimestepper, SSPRK33
+
+Array = Any
+
+
+@dataclasses.dataclass
+class Solution:
+    """Saved trajectory: ``ts`` (n_saved,) and ``us`` — a pytree stacked
+    along a leading save axis.  ``us[k]``-style access is provided by
+    :meth:`state`."""
+
+    ts: Array
+    us: dict
+
+    def __len__(self) -> int:
+        return int(self.ts.shape[0])
+
+    def state(self, k: int) -> dict:
+        """The k-th saved state (supports negative indices)."""
+        return jax.tree_util.tree_map(lambda x: x[k], self.us)
+
+
+class Simulation:
+    """Wraps a model + stepper + state and compiles the integration loop
+    (cf. ``simulation.jl:11-73``).
+
+    Parameters mirror the reference constructor: ``Y_init``/``Ya_init`` may
+    be ``None`` to use the model's default ICs (``simulation.jl:46-53``).
+    ``saveat`` is a time interval; it must be (close to) an integer multiple
+    of ``dt``.  The initial state is always the first saved entry, matching
+    DiffEq's saveat semantics.
+    """
+
+    def __init__(
+        self,
+        model,
+        stepper: AbstractTimestepper = SSPRK33(),
+        *,
+        Y_init: Optional[dict] = None,
+        Ya_init: Optional[dict] = None,
+        dt: float,
+        tspan: tuple,
+        saveat: Optional[float] = None,
+    ):
+        if Y_init is None:
+            Y_init, Ya_init = model.default_initial_conditions()
+        self.model = model
+        self.stepper = stepper
+        self.dt = float(dt)
+        self.tspan = (float(tspan[0]), float(tspan[1]))
+        self.Y = Y_init
+        self.Ya = Ya_init
+        self.t = self.tspan[0]
+        self.saveat = None if saveat is None else float(saveat)
+        self._rhs = make_rhs(model)
+
+        dtype = model.float_dtype
+        rhs, stepper_, dt_ = self._rhs, self.stepper, self.dt
+
+        @jax.jit
+        def _step(Y, Ya, t):
+            return stepper_.step(rhs, Y, Ya, t, jnp.asarray(dt_, dtype=dtype))
+
+        self._step_fn = _step
+
+        self._dtype = dtype
+        self._run_cache: dict = {}
+
+    def _make_run_fn(self, n_saves: int, save_every: int, rem: int):
+        """Compiled runner for a given (saves x stride + remainder) split;
+        memoized so repeated runs reuse the executable."""
+        key = (n_saves, save_every, rem)
+        if key in self._run_cache:
+            return self._run_cache[key]
+        rhs, stepper_, dt_, dtype = self._rhs, self.stepper, self.dt, self._dtype
+
+        def _run(Y, Ya, t0):
+            dt_a = jnp.asarray(dt_, dtype=dtype)
+
+            def inner(carry, _):
+                Y, t = carry
+                return (stepper_.step(rhs, Y, Ya, t, dt_a), t + dt_a), None
+
+            def outer(carry, _):
+                carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
+                Y, t = carry
+                return carry, (t, Y)
+
+            carry = (Y, jnp.asarray(t0, dtype=dtype))
+            carry, (ts, us) = jax.lax.scan(outer, carry, None, length=n_saves)
+            if rem:
+                carry, _ = jax.lax.scan(inner, carry, None, length=rem)
+            Yf, tf = carry
+            return Yf, tf, ts, us
+
+        fn = jax.jit(_run)
+        self._run_cache[key] = fn
+        return fn
+
+    # -- reference step!/run! analogues (simulation.jl:79-87) --
+
+    def step(self) -> None:
+        """Advance one time step (cf. ``step!``, ``simulation.jl:79-80``)."""
+        self.Y = self._step_fn(self.Y, self.Ya, jnp.asarray(self.t))
+        self.t += self.dt
+
+    def run(self) -> Solution:
+        """Integrate to the end of ``tspan`` and return the saved trajectory
+        (cf. ``run!``, ``simulation.jl:86-87``).  Continues from the current
+        (Y, t) to ``tspan[1]`` exactly (DiffEq ``solve!`` semantics); stores
+        the result on ``self.sol`` as well."""
+        Y0, t0 = self.Y, self.t
+        n_steps = max(0, int(round((self.tspan[1] - t0) / self.dt)))
+        if self.saveat is not None:
+            save_every = max(1, int(round(self.saveat / self.dt)))
+        else:
+            save_every = max(1, n_steps)
+        n_saves, rem = divmod(n_steps, save_every)
+        self._rem = rem
+        Yf, tf, ts, us = self._make_run_fn(n_saves, save_every, rem)(
+            Y0, self.Ya, t0
+        )
+        self.Y = Yf
+        self.t = float(tf)
+        # prepend the initial state (DiffEq saves t0); append final if the
+        # last partial interval wasn't saved
+        ts_full = jnp.concatenate([jnp.asarray([t0], dtype=ts.dtype), ts])
+        us_full = jax.tree_util.tree_map(
+            lambda x0, xs: jnp.concatenate([x0[None], xs]), Y0, us
+        )
+        if self._rem:
+            ts_full = jnp.concatenate([ts_full, jnp.asarray([tf], dtype=ts.dtype)])
+            us_full = jax.tree_util.tree_map(
+                lambda xs, xf: jnp.concatenate([xs, xf[None]]), us_full, Yf
+            )
+        self.sol = Solution(ts=ts_full, us=us_full)
+        return self.sol
+
+
+def step(simulation: Simulation) -> None:
+    """Functional alias of :meth:`Simulation.step` (reference ``step!``)."""
+    simulation.step()
+
+
+def run(simulation: Simulation) -> Solution:
+    """Functional alias of :meth:`Simulation.run` (reference ``run!``)."""
+    return simulation.run()
