@@ -21,6 +21,8 @@ Public API mirrors the reference's module surface (see SURVEY.md §1-2).
 from landhydrology_tpu.constants import EarthParameterSet, default_earth_param_set
 from landhydrology_tpu.domains import Column, ColumnGrid, make_function_space
 from landhydrology_tpu.models.soil import (
+    BatchedBC,
+    BCKind,
     FreeDrainage,
     Dirichlet,
     NoBC,
@@ -60,6 +62,8 @@ __all__ = [
     "PrescribedTemperatureModel",
     "PrescribedHydrologyModel",
     "NoBC",
+    "BatchedBC",
+    "BCKind",
     "VerticalFlux",
     "Dirichlet",
     "FreeDrainage",

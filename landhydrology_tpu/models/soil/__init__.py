@@ -9,6 +9,8 @@ conditions, RHS assembly, and initial conditions.
 from landhydrology_tpu.models.soil import heat as SoilHeatParameterizations
 from landhydrology_tpu.models.soil import water as SoilWaterParameterizations
 from landhydrology_tpu.models.soil.boundary import (
+    BatchedBC,
+    BCKind,
     Dirichlet,
     FreeDrainage,
     NoBC,
@@ -59,6 +61,8 @@ __all__ = [
     "TemperatureDependentViscosity",
     "IceImpedance",
     "NoBC",
+    "BatchedBC",
+    "BCKind",
     "VerticalFlux",
     "Dirichlet",
     "FreeDrainage",

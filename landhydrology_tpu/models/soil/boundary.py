@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional, Union
 
+import jax
 import jax.numpy as jnp
 
 from landhydrology_tpu.domains import ColumnGrid
@@ -75,6 +76,34 @@ class Dirichlet(AbstractBC):
 class FreeDrainage(AbstractBC):
     """Free drainage at the bottom: grad(h) = 1, flux = -K(theta_center)
     (cf. ``boundary_conditions.jl:77``, ``:328-356``)."""
+
+
+class BCKind:
+    """Integer codes for per-column mixed BC types (:class:`BatchedBC`)."""
+
+    FLUX = 0
+    DIRICHLET = 1
+    FREE_DRAINAGE = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchedBC(AbstractBC):
+    """Per-column mixed boundary-condition types — new TPU-build capability
+    (SURVEY.md §2 row 13; north-star config 4: heterogeneous columns with
+    mixed BCs).
+
+    ``kind`` is an int array of :class:`BCKind` codes broadcastable to the
+    column batch; ``value`` is the operand (prescribed flux for FLUX,
+    boundary state for DIRICHLET; ignored for FREE_DRAINAGE), a constant,
+    per-column array, or callable of time.  The flux conversion evaluates
+    every formula that appears in ``kind`` and selects per column — the
+    masked-kernel design the reference's uniform flux-BC conversion makes
+    possible (SURVEY.md §3.4).
+    """
+
+    kind: Array
+    value: Array = 0.0
 
 
 class AbstractFaceBC:
@@ -184,6 +213,100 @@ def _pairwise(fn, pair_args):
     return out
 
 
+def _free_drainage_flux(component, model: SoilModel, X_cf: dict) -> Array:
+    """flux = -K(theta_center): grad(h) = 1 at the bottom
+    (cf. ``boundary_conditions.jl:328-356``)."""
+    sp = model.soil_param_set
+    vartheta_l = X_cf["vartheta_l"][0]
+    theta_i = X_cf["theta_i"][0]
+    T = X_cf["T"][0]
+    hm = component.hydraulic_model
+    nu_eff = sp.nu - theta_i
+    theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+    f_i = sw.ice_fraction_of_water(theta_l, theta_i)
+    impedance_f = sw.impedance_factor(component.impedance_factor, f_i)
+    viscosity_f = sw.viscosity_factor(component.viscosity_factor, T)
+    S = sw.effective_saturation(sp.nu, vartheta_l, hm.theta_r)
+    K = sw.hydraulic_conductivity(hm, S, viscosity_f, impedance_f)
+    return -K
+
+
+def _dirichlet_hydrology_flux(
+    component, model: SoilModel, X_cf: dict, dz: Array, face: str
+) -> Array:
+    """flux = -K_face (psi_face - psi_center + dz) / dz, negated at the
+    bottom (cf. ``boundary_conditions.jl:371-401``)."""
+    sp = model.soil_param_set
+    hm = component.hydraulic_model
+    theta_i_pair = X_cf["theta_i"]
+    nu_eff = [sp.nu - th for th in theta_i_pair]
+    theta_l = _pairwise(sw.volumetric_liquid_fraction, [X_cf["vartheta_l"], nu_eff])
+    f_i = _pairwise(sw.ice_fraction_of_water, [theta_l, theta_i_pair])
+    impedance_f = [sw.impedance_factor(component.impedance_factor, f) for f in f_i]
+    viscosity_f = [
+        sw.viscosity_factor(component.viscosity_factor, T) for T in X_cf["T"]
+    ]
+    S = _pairwise(
+        lambda v: sw.effective_saturation(sp.nu, v, hm.theta_r),
+        [X_cf["vartheta_l"]],
+    )
+    K = [
+        sw.hydraulic_conductivity(hm, S[i], viscosity_f[i], impedance_f[i])
+        for i in (0, 1)
+    ]
+    psi = _pairwise(
+        lambda v, ne: sw.pressure_head(hm, v, ne, sp.S_s),
+        [X_cf["vartheta_l"], nu_eff],
+    )
+    flux = -K[1] * (psi[1] - psi[0] + dz) / dz
+    return -flux if face == "bottom" else flux
+
+
+def _dirichlet_energy_flux(
+    model: SoilModel, X_cf: dict, dz: Array, face: str
+) -> Array:
+    """flux = -kappa_face (T_face - T_center) / dz, negated at the bottom
+    (cf. ``boundary_conditions.jl:416-444``)."""
+    sp = model.soil_param_set
+    kappa_dry = sh.k_dry(model.earth_param_set, sp)
+    theta_i_pair = X_cf["theta_i"]
+    nu_eff = [sp.nu - th for th in theta_i_pair]
+    theta_l = _pairwise(sw.volumetric_liquid_fraction, [X_cf["vartheta_l"], nu_eff])
+    S_r = _pairwise(
+        lambda tl, ti: sh.relative_saturation(tl, ti, sp.nu),
+        [theta_l, theta_i_pair],
+    )
+    kersten = _pairwise(
+        lambda ti, sr: sh.kersten_number(ti, sr, sp), [theta_i_pair, S_r]
+    )
+    kappa_sat = _pairwise(
+        lambda tl, ti: sh.saturated_thermal_conductivity(
+            tl, ti, sp.kappa_sat_unfrozen, sp.kappa_sat_frozen
+        ),
+        [theta_l, theta_i_pair],
+    )
+    kappa = _pairwise(sh.thermal_conductivity, [kappa_dry, kersten, kappa_sat])
+    T = X_cf["T"]
+    flux = -kappa[1] * (T[1] - T[0]) / dz
+    return -flux if face == "bottom" else flux
+
+
+def _with_face_value(X_cf: dict, component, value: Array) -> dict:
+    """A copy of the (center, face) pairs with the component's Dirichlet
+    state overwritten at the face."""
+    if isinstance(component, SoilEnergyModel):
+        return dict(
+            X_cf, T=[X_cf["T"][0], jnp.broadcast_to(value, jnp.shape(X_cf["T"][0]))]
+        )
+    return dict(
+        X_cf,
+        vartheta_l=[
+            X_cf["vartheta_l"][0],
+            jnp.broadcast_to(value, jnp.shape(X_cf["vartheta_l"][0])),
+        ],
+    )
+
+
 def vertical_flux(
     bc: AbstractBC,
     component,
@@ -202,87 +325,42 @@ def vertical_flux(
     if isinstance(bc, VerticalFlux):
         return _value_at(bc.flux, t)
 
-    sp = model.soil_param_set
-
     if isinstance(bc, FreeDrainage):
         if not isinstance(component, SoilHydrologyModel):
             raise TypeError("FreeDrainage applies to the hydrology component only.")
-        # flux = -K(theta_center): grad(h) = 1 at the bottom
-        # (cf. boundary_conditions.jl:328-356)
-        vartheta_l = X_cf["vartheta_l"][0]
-        theta_i = X_cf["theta_i"][0]
-        T = X_cf["T"][0]
-        hm = component.hydraulic_model
-        nu_eff = sp.nu - theta_i
-        theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
-        f_i = sw.ice_fraction_of_water(theta_l, theta_i)
-        impedance_f = sw.impedance_factor(component.impedance_factor, f_i)
-        viscosity_f = sw.viscosity_factor(component.viscosity_factor, T)
-        S = sw.effective_saturation(sp.nu, vartheta_l, hm.theta_r)
-        K = sw.hydraulic_conductivity(hm, S, viscosity_f, impedance_f)
-        return -K
+        return _free_drainage_flux(component, model, X_cf)
 
     if isinstance(bc, Dirichlet):
         if isinstance(component, SoilHydrologyModel):
-            # flux = -K_face (psi_face - psi_center + dz) / dz, negated at the
-            # bottom (cf. boundary_conditions.jl:371-401)
-            hm = component.hydraulic_model
-            theta_i_pair = X_cf["theta_i"]
-            nu_eff = [sp.nu - th for th in theta_i_pair]
-            theta_l = _pairwise(
-                sw.volumetric_liquid_fraction, [X_cf["vartheta_l"], nu_eff]
-            )
-            f_i = _pairwise(sw.ice_fraction_of_water, [theta_l, theta_i_pair])
-            impedance_f = [
-                sw.impedance_factor(component.impedance_factor, f) for f in f_i
-            ]
-            viscosity_f = [
-                sw.viscosity_factor(component.viscosity_factor, T)
-                for T in X_cf["T"]
-            ]
-            S = _pairwise(
-                lambda v: sw.effective_saturation(sp.nu, v, hm.theta_r),
-                [X_cf["vartheta_l"]],
-            )
-            K = [
-                sw.hydraulic_conductivity(hm, S[i], viscosity_f[i], impedance_f[i])
-                for i in (0, 1)
-            ]
-            psi = _pairwise(
-                lambda v, ne: sw.pressure_head(hm, v, ne, sp.S_s),
-                [X_cf["vartheta_l"], nu_eff],
-            )
-            flux = -K[1] * (psi[1] - psi[0] + dz) / dz
-            return -flux if face == "bottom" else flux
-
+            return _dirichlet_hydrology_flux(component, model, X_cf, dz, face)
         if isinstance(component, SoilEnergyModel):
-            # flux = -kappa_face (T_face - T_center) / dz, negated at the
-            # bottom (cf. boundary_conditions.jl:416-444)
-            kappa_dry = sh.k_dry(model.earth_param_set, sp)
-            theta_i_pair = X_cf["theta_i"]
-            nu_eff = [sp.nu - th for th in theta_i_pair]
-            theta_l = _pairwise(
-                sw.volumetric_liquid_fraction, [X_cf["vartheta_l"], nu_eff]
+            return _dirichlet_energy_flux(model, X_cf, dz, face)
+
+    if isinstance(bc, BatchedBC):
+        # per-column masked select among the flux formulas (SURVEY.md §3.4:
+        # "per-column BC-type codes select among flux formulas")
+        value = _value_at(bc.value, t)
+        kind = jnp.asarray(bc.kind)
+        X_dir = _with_face_value(X_cf, component, value)
+        candidates = [value]  # FLUX: the prescribed value itself
+        if isinstance(component, SoilHydrologyModel):
+            candidates.append(
+                _dirichlet_hydrology_flux(component, model, X_dir, dz, face)
             )
-            S_r = _pairwise(
-                lambda tl, ti: sh.relative_saturation(tl, ti, sp.nu),
-                [theta_l, theta_i_pair],
-            )
-            kersten = _pairwise(
-                lambda ti, sr: sh.kersten_number(ti, sr, sp), [theta_i_pair, S_r]
-            )
-            kappa_sat = _pairwise(
-                lambda tl, ti: sh.saturated_thermal_conductivity(
-                    tl, ti, sp.kappa_sat_unfrozen, sp.kappa_sat_frozen
-                ),
-                [theta_l, theta_i_pair],
-            )
-            kappa = _pairwise(
-                sh.thermal_conductivity, [kappa_dry, kersten, kappa_sat]
-            )
-            T = X_cf["T"]
-            flux = -kappa[1] * (T[1] - T[0]) / dz
-            return -flux if face == "bottom" else flux
+            candidates.append(_free_drainage_flux(component, model, X_cf))
+        elif isinstance(component, SoilEnergyModel):
+            candidates.append(_dirichlet_energy_flux(model, X_dir, dz, face))
+            candidates.append(jnp.zeros_like(candidates[0]))  # no FD for energy
+        else:
+            raise TypeError("BatchedBC requires a dynamic component model.")
+        shape = jnp.broadcast_shapes(*(jnp.shape(c) for c in candidates), kind.shape)
+        candidates = [jnp.broadcast_to(c, shape) for c in candidates]
+        kind = jnp.broadcast_to(kind, shape)
+        return jnp.select(
+            [kind == BCKind.FLUX, kind == BCKind.DIRICHLET],
+            candidates[:2],
+            candidates[2],
+        )
 
     raise TypeError(f"Unsupported BC {bc!r} for component {component!r}")
 
