@@ -77,6 +77,29 @@ class PrescribedHydrologyModel(AbstractSoilComponentModel):
 
 
 @dataclasses.dataclass(frozen=True)
+class LateralSurfaceCoupling:
+    """Lateral surface-water coupling between neighboring columns — a new
+    TPU-build capability beyond the reference (SURVEY.md §2 row 14: the
+    reference's columns are fully independent; the north star adds a
+    lateral surface-coupling term, driver ``BASELINE.json`` config 5).
+
+    Columns must be laid out on a 2-D ``(nx, ny)`` batch grid.  The top
+    (surface) cell of each column exchanges water with its four lateral
+    neighbors by linear diffusion of the surface hydraulic head:
+
+        d vartheta_l[top] / dt  +=  (c / dz) * lap_xy(h[top])
+
+    with ``lap_xy`` the 5-point Laplacian on the periodic column grid and
+    ``c`` an effective surface conductance (m^2/s).  On a sharded mesh the
+    neighbor access becomes halo exchange (``parallel/halo.py``) overlapped
+    with the vertical sweeps.
+    """
+
+    conductance: Array = 1e-6  # m^2/s
+    dx: Array = 1.0  # lateral grid spacing (m)
+
+
+@dataclasses.dataclass(frozen=True)
 class SoilModel(AbstractModel):
     """The soil column model aggregate (cf. ``models.jl:90-135``).
 
@@ -98,6 +121,8 @@ class SoilModel(AbstractModel):
     earth_param_set: EarthParameterSet = default_earth_param_set
     name: str = "soil"
     dtype: Any = None  # None -> canonical default float (f64 if x64 enabled)
+    #: optional cross-column surface coupling (requires a 2-D column grid)
+    lateral_coupling: Optional[LateralSurfaceCoupling] = None
 
     @property
     def float_dtype(self):

@@ -119,6 +119,37 @@ def energy_center_fields(model: SoilModel, theta_l, theta_i, rho_e_int=None, T=N
     return T, kappa, rho_c_s
 
 
+def lateral_surface_tendency(model: SoilModel, h_top: Array, dz: Array) -> Array:
+    """Lateral surface-coupling tendency for the top cell:
+    ``(c / dz) * lap_xy(h_top)`` on the periodic 2-D column grid
+    (see :class:`~landhydrology_tpu.models.soil.model.LateralSurfaceCoupling`).
+
+    Single-program path: neighbor access via ``jnp.roll`` (XLA lowers rolls
+    on sharded axes to collective permutes automatically); the explicitly
+    overlapped ``shard_map`` halo-exchange path lives in ``parallel/halo.py``.
+    """
+    lc = model.lateral_coupling
+    if h_top.ndim < 2:
+        raise ValueError(
+            "LateralSurfaceCoupling requires a 2-D (nx, ny) column batch; "
+            f"got surface field of shape {h_top.shape}"
+        )
+    lap = (
+        jnp.roll(h_top, 1, axis=0)
+        + jnp.roll(h_top, -1, axis=0)
+        + jnp.roll(h_top, 1, axis=1)
+        + jnp.roll(h_top, -1, axis=1)
+        - 4.0 * h_top
+    ) / (lc.dx * lc.dx)
+    return lc.conductance / dz * lap
+
+
+def _add_lateral(model: SoilModel, d_vartheta_l: Array, h: Array, dz: Array) -> Array:
+    if model.lateral_coupling is None:
+        return d_vartheta_l
+    return d_vartheta_l.at[-1].add(lateral_surface_tendency(model, h[-1], dz))
+
+
 def _face_fluxes(model, grid, X, t):
     """Boundary fluxes at both faces (cf. ``right_hand_side.jl:134-149``)."""
     bcs = model.boundary_conditions
@@ -190,6 +221,7 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
                 fluxes["top"]["f_vartheta_l"],
                 dz,
             )
+            d_vartheta_l = _add_lateral(model, d_vartheta_l, h, dz)
             return {
                 name: {
                     "vartheta_l": d_vartheta_l,
@@ -258,6 +290,7 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
                 fluxes["top"]["f_vartheta_l"],
                 dz,
             )
+            d_vartheta_l = _add_lateral(model, d_vartheta_l, h, dz)
             # energy flux: -kappa grad T - rho_e_int_l K grad h
             # (cf. right_hand_side.jl:361-365)
             energy_flux = diffusive_flux_faces(kappa, T, dz) + diffusive_flux_faces(

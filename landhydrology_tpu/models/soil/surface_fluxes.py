@@ -146,11 +146,13 @@ def surface_conditions(
     log_m = jnp.log(z_atm / z_0m)
     log_s = jnp.log(z_atm / z_0s)
 
-    shape = jnp.broadcast_shapes(
-        *(jnp.shape(a) for a in (du, dtheta, dq, z_atm, z_0m, z_0s, theta_scale))
+    # start neutral; derive the zero from the inputs so it inherits their
+    # sharding/varying-axes under shard_map (a fresh jnp.zeros would be
+    # unvarying and break the fixed-point loop's carry typing)
+    Linv0 = (
+        du * 0.0 + dtheta * 0.0 + dq * 0.0 + z_atm * 0.0 + z_0m * 0.0
+        + z_0s * 0.0 + theta_scale * 0.0
     )
-    dtype = jnp.result_type(du, dtheta, dq, theta_scale)
-    Linv0 = jnp.zeros(shape, dtype=dtype)  # start neutral
 
     def stars(Linv):
         zeta = z_atm * Linv

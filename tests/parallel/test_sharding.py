@@ -1,0 +1,157 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded steps must be
+numerically identical to single-device execution, and the explicit
+shard_map halo exchange must match the roll-based lateral coupling."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landhydrology_tpu import (
+    Column,
+    PrescribedTemperatureModel,
+    SoilColumnBC,
+    SoilComponentBC,
+    SoilEnergyModel,
+    SoilHydrologyModel,
+    SoilModel,
+    SoilParams,
+    VerticalFlux,
+    initialize_states,
+)
+from landhydrology_tpu.constants import default_earth_param_set as param_set
+from landhydrology_tpu.models.soil import vanGenuchten
+from landhydrology_tpu.models.soil.heat import (
+    volumetric_heat_capacity,
+    volumetric_internal_energy,
+)
+from landhydrology_tpu.models.soil.model import LateralSurfaceCoupling
+from landhydrology_tpu.parallel import (
+    halo_exchanged_laplacian,
+    make_column_mesh,
+    make_sharded_step,
+    shard_state,
+)
+from landhydrology_tpu.parallel.stepping import make_sharded_run
+from landhydrology_tpu.timestepping import SSPRK33
+
+pytestmark = pytest.mark.multihost
+
+NZ, NX, NY = 12, 8, 8
+
+
+def _model(lateral=None, batch=(NX, NY)):
+    return SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=NZ, batch_shape=batch),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-5, theta_r=0.0)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3, rho_c_ds=1.3e6),
+        lateral_coupling=lateral,
+    )
+
+
+def _ic(z, m):
+    # laterally varying moisture bump + linear T profile
+    nx = np.arange(NX)[None, :, None]
+    ny = np.arange(NY)[None, None, :]
+    bump = 0.05 * np.sin(2 * np.pi * nx / NX) * np.cos(2 * np.pi * ny / NY)
+    theta = jnp.asarray(0.2 + bump + 0.0 * z)
+    theta_i = jnp.zeros_like(theta)
+    T = 288.0 + 5.0 * z + 0.0 * theta
+    rho_c_s = volumetric_heat_capacity(theta, theta_i, 1.3e6, param_set)
+    return {
+        "vartheta_l": theta,
+        "theta_i": theta_i,
+        "rho_e_int": volumetric_internal_energy(theta_i, rho_c_s, T, param_set),
+    }
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_halo_laplacian_matches_roll():
+    mesh = make_column_mesh(shape=(4, 2))
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.normal(size=(NX, NY)))
+    lap_halo = halo_exchanged_laplacian(f, 0.5, mesh)
+    lap_roll = (
+        jnp.roll(f, 1, 0) + jnp.roll(f, -1, 0) + jnp.roll(f, 1, 1)
+        + jnp.roll(f, -1, 1) - 4.0 * f
+    ) / 0.25
+    np.testing.assert_allclose(np.asarray(lap_halo), np.asarray(lap_roll), rtol=1e-13)
+
+
+@pytest.mark.parametrize("mode", ["pjit", "shard_map"])
+def test_sharded_step_matches_single_device(mode):
+    lateral = LateralSurfaceCoupling(conductance=1e-4, dx=1.0)
+    model = _model(lateral)
+    Y, Ya = initialize_states(model, _ic, 0.0)
+
+    # single-device run
+    step1 = make_sharded_step(
+        model, make_column_mesh(shape=(1, 1), devices=jax.devices()[:1]),
+        SSPRK33(), dt=10.0, mode="pjit",
+    )
+    Y1, _ = step1(Y, Ya, jnp.asarray(0.0))
+
+    # 8-device mesh
+    mesh = make_column_mesh(shape=(4, 2))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    stepN = make_sharded_step(model, mesh, SSPRK33(), dt=10.0, mode=mode)
+    YN, _ = stepN(Ys, Yas, jnp.asarray(0.0))
+
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(YN["soil"][k]), np.asarray(Y1["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=f"{mode}:{k}",
+        )
+
+
+def test_lateral_coupling_conserves_and_spreads():
+    """Periodic lateral diffusion conserves total water and flattens the
+    lateral moisture bump."""
+    lateral = LateralSurfaceCoupling(conductance=5e-4, dx=1.0)
+    model = _model(lateral)
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    mesh = make_column_mesh(shape=(4, 2))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    run = make_sharded_run(model, mesh, SSPRK33(), dt=10.0, n_steps=200, mode="shard_map")
+    Yf, _ = run(Ys, Yas, jnp.asarray(0.0))
+
+    v0 = np.asarray(Y["soil"]["vartheta_l"])
+    vf = np.asarray(Yf["soil"]["vartheta_l"])
+    assert abs(vf.sum() - v0.sum()) / v0.sum() < 1e-12  # conservation
+    # lateral variance of the surface layer decreases (diffusive smoothing)
+    assert vf[-1].std() < v0[-1].std()
+    assert np.all(np.isfinite(vf))
+
+
+def test_weak_scaling_shapes():
+    """The pjit path accepts a 1-D column mesh for pure data parallelism."""
+    model = _model(None, batch=(64,))
+
+    def ic(z, m):
+        return {
+            "vartheta_l": jnp.full((NZ, 64), 0.2),
+            "theta_i": jnp.zeros((NZ, 64)),
+            "rho_e_int": jnp.full((NZ, 64), -1e6),
+        }
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+    mesh = make_column_mesh(axis_names=("columns",))
+    Ys = shard_state(Y, mesh)
+    step = make_sharded_step(model, mesh, SSPRK33(), dt=1.0)
+    Yf, _ = step(Ys, shard_state(Ya, mesh), jnp.asarray(0.0))
+    assert Yf["soil"]["vartheta_l"].shape == (NZ, 64)
+    assert len(Yf["soil"]["vartheta_l"].sharding.device_set) == 8
