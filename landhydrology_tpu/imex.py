@@ -1,0 +1,165 @@
+"""Implicit vertical solver — IMEX stepping for the stiff diffusion.
+
+The reference integrates explicitly only (SSPRK33 everywhere; dt down to
+1e-4 s in the heat test, 0.25 s in the infiltration test) and its north star
+asks for IMEX (SURVEY.md §7 hard part 3).  Columns are independent, so the
+implicit solve is a batched per-column tridiagonal system
+(:func:`~landhydrology_tpu.ops.tridiag.thomas_solve`).
+
+:class:`BackwardEulerRichards` advances the Richards equation with backward
+Euler + inexact (modified-Picard / Newton) iterations:
+
+    g(v) = v - v^n - dt f(v) = 0,
+    (I - dt A) delta = v^n - v^m + dt f(v^m),   v^{m+1} = v^m + delta
+
+where ``f`` is the *exact* rhs (including the full BC flux conversion — the
+fixed point is therefore exact) and ``A`` is the frozen-coefficient
+linearization of the vertical diffusion,
+
+    (A delta)_i = [K_{i+1/2}(C_{i+1} d_{i+1} - C_i d_i)
+                   - K_{i-1/2}(C_i d_i - C_{i-1} d_{i-1})] / dz^2,
+
+with ``C = d psi / d vartheta_l`` obtained by automatic differentiation of
+the pressure-head closure (the NaN-safe masked branches of ``water.py`` make
+this derivative well-defined across the saturation boundary).  Boundary
+faces carry no Jacobian contribution (inexact for Dirichlet; affects only
+the convergence rate, not the converged solution).
+
+Stability: unconditionally stable in dt; accuracy first-order.  Typical use:
+dt 20-100x the explicit CFL limit with 2-3 iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from landhydrology_tpu.domains import ColumnGrid
+from landhydrology_tpu.models.soil import water as sw
+from landhydrology_tpu.models.soil.model import SoilHydrologyModel, SoilModel
+from landhydrology_tpu.ops.stencil import interp_c2f_interior
+from landhydrology_tpu.ops.tridiag import thomas_solve
+from landhydrology_tpu.timestepping import AbstractTimestepper
+
+Array = Any
+
+
+def _dpsi_dtheta(hm, vartheta_l: Array, nu_eff: Array, S_s: Array) -> Array:
+    """Elementwise C = d psi / d vartheta_l via AD of the pressure-head
+    closure (pointwise, so grad-of-sum gives the elementwise derivative)."""
+    def total(v):
+        return jnp.sum(sw.pressure_head(hm, v, nu_eff, S_s))
+
+    return jax.grad(total)(vartheta_l)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackwardEulerRichards(AbstractTimestepper):
+    """Backward-Euler Richards stepper with frozen-coefficient Newton
+    iterations and a batched Thomas solve.
+
+    Applies the implicit update to ``vartheta_l``; any other prognostic
+    variables present (theta_i, rho_e_int) are advanced explicitly with
+    their rhs tendencies (IMEX splitting: the water diffusion carries the
+    stiffness).
+    """
+
+    model: SoilModel
+    grid: ColumnGrid
+    iters: int = 2
+
+    @property
+    def stages(self) -> int:
+        return self.iters
+
+    def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
+        model, grid = self.model, self.grid
+        name = model.name
+        hydrology = model.hydrology_model
+        if not isinstance(hydrology, SoilHydrologyModel):
+            raise TypeError("BackwardEulerRichards needs a dynamic hydrology model")
+        hm = hydrology.hydraulic_model
+        sp = model.soil_param_set
+        dz = grid.dz
+        t_new = t + dt
+
+        v_n = Y[name]["vartheta_l"]
+        theta_i = Y[name]["theta_i"]
+
+        def iterate(carry, _):
+            v_m = carry
+            Ym = {name: dict(Y[name], vartheta_l=v_m)}
+            f = rhs(Ym, Ya, t_new)[name]["vartheta_l"]
+
+            # frozen coefficients at the current iterate
+            nu_eff = sp.nu - theta_i
+            theta_l = sw.volumetric_liquid_fraction(v_m, nu_eff)
+            f_i = sw.ice_fraction_of_water(theta_l, theta_i)
+            if isinstance(hydrology.viscosity_factor, sw.TemperatureDependentViscosity):
+                T = jnp.broadcast_to(Ya[name]["T"], v_m.shape)
+            else:
+                T = jnp.ones_like(v_m)  # NoEffect: value irrelevant
+            visc = sw.viscosity_factor(hydrology.viscosity_factor, T)
+            imp = sw.impedance_factor(hydrology.impedance_factor, f_i)
+            S = sw.effective_saturation(sp.nu, v_m, hm.theta_r)
+            K = sw.hydraulic_conductivity(hm, S, visc, imp)
+            C = _dpsi_dtheta(hm, v_m, nu_eff, sp.S_s)
+
+            Kf = interp_c2f_interior(K)  # (nz-1, *batch) interior faces
+            zeros = jnp.zeros_like(K[:1])
+            K_minus = jnp.concatenate([zeros, Kf], axis=0)  # face below cell i
+            K_plus = jnp.concatenate([Kf, zeros], axis=0)  # face above cell i
+
+            inv_dz2 = 1.0 / (dz * dz)
+            diag_A = -(K_minus + K_plus) * C * inv_dz2
+            sub_A = K_minus * jnp.roll(C, 1, axis=0) * inv_dz2
+            sup_A = K_plus * jnp.roll(C, -1, axis=0) * inv_dz2
+
+            # Dirichlet boundary faces contribute a stabilizing diagonal
+            # term -K_face C_i / (dz_half * dz).  K_face is evaluated at the
+            # Dirichlet state (boundary_conditions.jl:395 uses K[face]) — in
+            # dry-soil infiltration it is orders of magnitude larger than
+            # the center K, and the half-cell distance doubles the weight;
+            # omitting either lets the Newton step overshoot at sharp fronts.
+            from landhydrology_tpu.models.soil.boundary import Dirichlet, _value_at
+
+            bcs = model.boundary_conditions
+            dz_half = grid.dz_boundary
+            nz_top = v_m.shape[0] - 1
+
+            def k_at_value(v_dir):
+                S_f = sw.effective_saturation(sp.nu, v_dir, hm.theta_r)
+                return sw.hydraulic_conductivity(
+                    hm, S_f, jnp.ones_like(S_f), jnp.ones_like(S_f)
+                )
+
+            bc_bot = getattr(bcs.bottom, "hydrology", None)
+            bc_top = getattr(bcs.top, "hydrology", None)
+            if isinstance(bc_bot, Dirichlet):
+                K_f = k_at_value(_value_at(bc_bot.state_value, t_new))
+                diag_A = diag_A.at[0].add(-K_f * C[0] / (dz_half * dz))
+            if isinstance(bc_top, Dirichlet):
+                K_f = k_at_value(_value_at(bc_top.state_value, t_new))
+                diag_A = diag_A.at[nz_top].add(-K_f * C[nz_top] / (dz_half * dz))
+
+            dl = -dt * sub_A
+            d = 1.0 - dt * diag_A
+            du = -dt * sup_A
+            b = v_n - v_m + dt * f
+            delta = thomas_solve(dl, d, du, b)
+            return v_m + delta, None
+
+        v_new, _ = jax.lax.scan(iterate, v_n, None, length=self.iters)
+
+        out = dict(Y[name], vartheta_l=v_new)
+        # explicit update for any remaining prognostic variables
+        if "rho_e_int" in Y[name] or "theta_i" in Y[name]:
+            Ym = {name: dict(Y[name], vartheta_l=v_new)}
+            f_all = rhs(Ym, Ya, t_new)[name]
+            for k in Y[name]:
+                if k != "vartheta_l":
+                    out[k] = Y[name][k] + dt * f_all[k]
+        return {name: out}

@@ -162,9 +162,11 @@ def interior_values(X: dict, face: str) -> tuple:
     """Nearest-center (vartheta_l, theta_i, T) to the boundary ``face``
     (cf. ``boundary_conditions.jl:174-190``).  Fields are ``(nz, *batch)``;
     returns ``(*batch)`` slices."""
-    idx = -1 if face == "top" else 0
     if face not in ("top", "bottom"):
         raise ValueError("Expected 'top' or 'bottom'")
+    # static nonnegative index: a Python -1 would lower to dynamic_slice,
+    # which the Mosaic TPU kernel path cannot lower
+    idx = X["vartheta_l"].shape[0] - 1 if face == "top" else 0
     return X["vartheta_l"][idx], X["theta_i"][idx], X["T"][idx]
 
 

@@ -147,7 +147,8 @@ def lateral_surface_tendency(model: SoilModel, h_top: Array, dz: Array) -> Array
 def _add_lateral(model: SoilModel, d_vartheta_l: Array, h: Array, dz: Array) -> Array:
     if model.lateral_coupling is None:
         return d_vartheta_l
-    return d_vartheta_l.at[-1].add(lateral_surface_tendency(model, h[-1], dz))
+    top = h.shape[0] - 1  # static index (negative would lower to dynamic_slice)
+    return d_vartheta_l.at[top].add(lateral_surface_tendency(model, h[top], dz))
 
 
 def _face_fluxes(model, grid, X, t):

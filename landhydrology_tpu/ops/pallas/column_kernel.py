@@ -1,0 +1,136 @@
+"""Fused multi-step column-sweep kernel.
+
+The TPU-native replacement for the reference's per-stage field sweeps
+(``right_hand_side.jl:269-369`` evaluated 3x per SSPRK33 step): one Pallas
+kernel keeps a tile of columns **resident in VMEM for many consecutive time
+steps**, so HBM traffic per step drops from
+``O(state + temporaries)`` to ``O(state / steps_per_call)``.
+
+Design (SURVEY.md §7 stage 8):
+
+- Layout ``(nz, ncol)``: vertical axis on sublanes (the 2-point stencils are
+  sublane shifts), columns on lanes; the grid tiles the column axis.
+- The kernel body **reuses the exact jnp physics** — it calls the same
+  ``make_rhs(model)`` tendency function and stepper as the XLA path on the
+  VMEM-resident block, so there is one source of truth for the numerics and
+  the kernel supports every BC/closure combination that traces (MOST
+  excepted: its fixed-point loop is deliberately left to the XLA path).
+- ``input_output_aliases`` make the update in-place in HBM.
+
+The per-column state is tiny (3 nz floats), which makes the naive path
+bandwidth-bound on batch traffic; multi-stepping in VMEM converts it to a
+compute-bound sweep (the speed-of-light argument in SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from landhydrology_tpu.domains import make_function_space
+from landhydrology_tpu.models.soil.rhs import make_rhs
+from landhydrology_tpu.timestepping import SSPRK33, AbstractTimestepper
+
+Array = Any
+
+
+def make_fused_column_run(
+    model,
+    stepper: AbstractTimestepper = SSPRK33(),
+    dt: float = 1.0,
+    steps_per_call: int = 16,
+    tile_cols: int = 512,
+    interpret: bool = False,
+):
+    """Build ``run(Y, t0) -> Y'`` advancing ``steps_per_call`` steps with the
+    state resident in VMEM.
+
+    Requirements: fully coupled (energy + hydrology) model, ``(nz, ncol)``
+    state with ``ncol`` a multiple of ``tile_cols``, soil/hydraulics
+    parameters scalar or broadcastable per-tile, non-MOST BCs.  Chain calls
+    (e.g. under ``lax.scan``) for longer horizons; time advances
+    ``steps_per_call * dt`` per call.
+    """
+    import numpy as np
+
+    grid_obj = make_function_space(model.domain, model.float_dtype)
+    nz = grid_obj.nz
+    dtype = model.float_dtype
+    # Pallas kernels cannot capture device-array constants: give the rhs a
+    # grid whose scalars are Python literals (baked into the kernel).
+    grid_lit = dataclasses.replace(
+        grid_obj,
+        dz=float(grid_obj.dz),
+        zc=np.asarray(grid_obj.zc),
+        zf=np.asarray(grid_obj.zf),
+    )
+    rhs = make_rhs(model, grid_lit)
+    name = model.name
+    dt_c = float(dt)
+
+    def kernel(t0_ref, zc_ref, vt_ref, ti_ref, re_ref, vt_out, ti_out, re_out):
+        Y = {
+            name: {
+                "vartheta_l": vt_ref[:],
+                "theta_i": ti_ref[:],
+                "rho_e_int": re_ref[:],
+            }
+        }
+        Ya = {"zc": zc_ref[:], name: {}}
+        t0 = t0_ref[0]
+
+        def body(i, Y):
+            t = t0 + i.astype(dtype) * dt_c
+            return stepper.step(rhs, Y, Ya, t, jnp.asarray(dt_c, dtype=dtype))
+
+        Yf = jax.lax.fori_loop(0, steps_per_call, body, Y)
+        vt_out[:] = Yf[name]["vartheta_l"]
+        ti_out[:] = Yf[name]["theta_i"]
+        re_out[:] = Yf[name]["rho_e_int"]
+
+    def run(Y: dict, t0) -> dict:
+        vt = Y[name]["vartheta_l"]
+        ti = Y[name]["theta_i"]
+        re = Y[name]["rho_e_int"]
+        ncol = vt.shape[1]
+        if ncol % tile_cols:
+            raise ValueError(f"ncol={ncol} not a multiple of tile_cols={tile_cols}")
+        n_tiles = ncol // tile_cols
+        zc = jnp.broadcast_to(grid_obj.zc.reshape(nz, 1), (nz, 1)).astype(dtype)
+        t0 = jnp.reshape(jnp.asarray(t0, dtype=dtype), (1,))
+
+        col_spec = pl.BlockSpec(
+            (nz, tile_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # t0
+                pl.BlockSpec((nz, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                col_spec,
+                col_spec,
+                col_spec,
+            ],
+            out_specs=(col_spec, col_spec, col_spec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((nz, ncol), dtype) for _ in range(3)
+            ),
+            input_output_aliases={2: 0, 3: 1, 4: 2},
+            interpret=interpret,
+        )(t0, zc, vt, ti, re)
+        return {
+            name: {
+                "vartheta_l": out[0],
+                "theta_i": out[1],
+                "rho_e_int": out[2],
+            }
+        }
+
+    return run

@@ -1,0 +1,127 @@
+"""Implicit (backward-Euler + Picard/Newton) Richards stepping tests:
+unconditional stability at time steps far beyond the explicit CFL limit,
+converging to the same hydrostatic equilibrium as the explicit path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landhydrology_tpu import (
+    Column,
+    PrescribedTemperatureModel,
+    Simulation,
+    SoilColumnBC,
+    SoilComponentBC,
+    SoilHydrologyModel,
+    SoilModel,
+    SoilParams,
+    VerticalFlux,
+    initialize_states,
+)
+from landhydrology_tpu.domains import make_function_space
+from landhydrology_tpu.imex import BackwardEulerRichards
+from landhydrology_tpu.models.soil import vanGenuchten
+
+
+def _expected_equilibrium(z, z_interface, nu, S_s=1e-3, alpha=2.6, n=2.0, m=0.5):
+    z = np.asarray(z)
+    unsat = nu * (1 + (alpha * (z - z_interface)) ** n) ** (-m)
+    sat = -S_s * (z - z_interface) + nu
+    return np.where(z < z_interface, sat, unsat)
+
+
+@pytest.mark.slow
+def test_implicit_richards_large_dt_equilibrium():
+    """dt = 3000 s (30x the explicit test's dt=100) reaches the same
+    hydrostatic equilibrium (cf. ``richards_equation.jl:1-95``)."""
+    nu, S_s = 0.495, 1e-3
+    model = SoilModel(
+        domain=Column(zlim=(-10.0, 0.0), nelements=50),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(
+                n=2.0, alpha=2.6, Ksat=0.0443 / 3600 / 100, theta_r=0.0
+            )
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+        ),
+        soil_param_set=SoilParams(nu=nu, S_s=S_s),
+    )
+    Y, Ya = initialize_states(
+        model,
+        lambda z, m: {
+            "vartheta_l": jnp.full_like(z, 0.494),
+            "theta_i": jnp.zeros_like(z),
+        },
+        0.0,
+    )
+    grid = make_function_space(model.domain, jnp.float64)
+    stepper = BackwardEulerRichards(model=model, grid=grid, iters=3)
+    tf = 60.0 * 60.0 * 24.0 * 36.0
+    sim = Simulation(
+        model, stepper, Y_init=Y, Ya_init=Ya, dt=3000.0, tspan=(0.0, tf)
+    )
+    sim.run()
+
+    z = np.asarray(Ya["zc"]).ravel()
+    vf = np.asarray(sim.Y["soil"]["vartheta_l"])
+    err = vf - _expected_equilibrium(z, -0.56, nu)
+    assert np.all(np.isfinite(vf))
+    assert np.sqrt(np.mean(err) ** 2) < 1e-4
+    assert np.sqrt(np.mean(err**2)) < 5e-3
+
+    # mass conserved through the implicit update (zero-flux BCs)
+    m0 = float(np.sum(np.asarray(Y["soil"]["vartheta_l"])))
+    mf = float(np.sum(vf))
+    assert abs(mf - m0) / m0 < 1e-10
+
+
+def test_implicit_matches_explicit_short_horizon():
+    """Implicit dt=2 vs explicit dt=0.25 on stiff sand infiltration over a
+    short horizon: profiles agree to solver tolerance."""
+    from landhydrology_tpu import Dirichlet, FreeDrainage
+    from landhydrology_tpu.timestepping import SSPRK33
+
+    hm = vanGenuchten(n=3.96, alpha=2.7, Ksat=34.0 / 3600.0 / 100.0, theta_r=0.075)
+    model = SoilModel(
+        domain=Column(zlim=(-1.5, 0.0), nelements=150),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(hydraulic_model=hm),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=Dirichlet(lambda t: 0.267)),
+            bottom=SoilComponentBC(hydrology=FreeDrainage()),
+        ),
+        soil_param_set=SoilParams(nu=0.287, S_s=1e-3),
+    )
+    Y, Ya = initialize_states(
+        model,
+        lambda z, m: {
+            "vartheta_l": jnp.full_like(z, 0.1),
+            "theta_i": jnp.zeros_like(z),
+        },
+        0.0,
+    )
+    grid = make_function_space(model.domain, jnp.float64)
+    tf = 60.0
+
+    sim_ex = Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=0.25, tspan=(0.0, tf)
+    )
+    sim_ex.run()
+    sim_im = Simulation(
+        model,
+        BackwardEulerRichards(model=model, grid=grid, iters=3),
+        Y_init=Y,
+        Ya_init=Ya,
+        dt=2.0,
+        tspan=(0.0, tf),
+    )
+    sim_im.run()
+
+    v_ex = np.asarray(sim_ex.Y["soil"]["vartheta_l"])
+    v_im = np.asarray(sim_im.Y["soil"]["vartheta_l"])
+    assert np.all(np.isfinite(v_im))
+    # first-order implicit vs third-order explicit: agree to O(dt) accuracy
+    assert np.max(np.abs(v_ex - v_im)) < 5e-3

@@ -1,0 +1,123 @@
+"""Fused Pallas column-kernel equivalence tests (interpret mode on CPU):
+the VMEM-resident multi-step kernel must match the jit/XLA scan path
+exactly, since it traces the same rhs + stepper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landhydrology_tpu import (
+    Column,
+    Dirichlet,
+    FreeDrainage,
+    SoilColumnBC,
+    SoilComponentBC,
+    SoilEnergyModel,
+    SoilHydrologyModel,
+    SoilModel,
+    SoilParams,
+    VerticalFlux,
+)
+from landhydrology_tpu.constants import default_earth_param_set as ps
+from landhydrology_tpu.domains import make_function_space
+from landhydrology_tpu.models.soil import vanGenuchten
+from landhydrology_tpu.models.soil.heat import (
+    k_solid,
+    ksat_frozen,
+    ksat_unfrozen,
+    volumetric_heat_capacity,
+    volumetric_internal_energy,
+)
+from landhydrology_tpu.models.soil.rhs import make_rhs
+from landhydrology_tpu.ops.pallas import make_fused_column_run
+from landhydrology_tpu.timestepping import SSPRK33
+
+NZ, NCOL = 16, 256
+
+
+def _model(bc_top_hydrology, bc_bottom_hydrology):
+    nu = 0.5
+    ks = k_solid(0.0, 0.92, 7.7, 2.5, 0.25)
+    msp = SoilParams(
+        nu=nu,
+        S_s=1e-3,
+        nu_ss_quartz=0.92,
+        rho_c_ds=(1 - nu) * 1.926e6,
+        kappa_solid=ks,
+        kappa_sat_unfrozen=ksat_unfrozen(ks, nu, 0.57),
+        kappa_sat_frozen=ksat_frozen(ks, nu, 2.29),
+    )
+    return SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=NZ, batch_shape=(NCOL,)),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(
+                n=2.0, alpha=2.6, Ksat=0.0443 / 3600 / 100, theta_r=0.0
+            )
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=bc_top_hydrology, energy=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(
+                hydrology=bc_bottom_hydrology, energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=msp,
+        dtype=jnp.float64,
+    )
+
+
+def _state(msp_rho_c_ds=0.5 * 1.926e6):
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(0.3 + 0.1 * rng.random((NZ, NCOL)))
+    theta_i = jnp.zeros((NZ, NCOL))
+    T = jnp.asarray(285.0 + 5 * rng.random((NZ, NCOL)))
+    rho_c_s = volumetric_heat_capacity(theta, theta_i, msp_rho_c_ds, ps)
+    return {
+        "soil": {
+            "vartheta_l": theta,
+            "theta_i": theta_i,
+            "rho_e_int": volumetric_internal_energy(theta_i, rho_c_s, T, ps),
+        }
+    }
+
+
+@pytest.mark.parametrize(
+    "top,bottom",
+    [
+        (VerticalFlux(0.0), FreeDrainage()),
+        (Dirichlet(lambda t: 0.4), VerticalFlux(0.0)),
+    ],
+)
+def test_fused_kernel_matches_scan(top, bottom):
+    model = _model(top, bottom)
+    grid = make_function_space(model.domain, jnp.float64)
+    Y = _state()
+    Ya = {"zc": grid.zc, "soil": {}}
+    stepper, dt, n = SSPRK33(), 5.0, 8
+
+    rhs = make_rhs(model, grid)
+    Yr, t = Y, jnp.asarray(0.0)
+    for i in range(n):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(dt))
+        t = t + dt
+
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]),
+            np.asarray(Yr["soil"][k]),
+            rtol=1e-12,
+            atol=1e-16,
+            err_msg=k,
+        )
+
+
+def test_fused_kernel_rejects_bad_tiling():
+    model = _model(VerticalFlux(0.0), FreeDrainage())
+    run = make_fused_column_run(model, SSPRK33(), dt=1.0, tile_cols=100, interpret=True)
+    with pytest.raises(ValueError):
+        run(_state(), 0.0)
