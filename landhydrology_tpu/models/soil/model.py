@@ -123,6 +123,10 @@ class SoilModel(AbstractModel):
     dtype: Any = None  # None -> canonical default float (f64 if x64 enabled)
     #: optional cross-column surface coupling (requires a 2-D column grid)
     lateral_coupling: Optional[LateralSurfaceCoupling] = None
+    #: optional freeze-thaw phase change (coupled combo only; the reference
+    #: carries theta_i prognostically but zeroes its tendency — see
+    #: models/soil/freeze_thaw.py)
+    freeze_thaw: Optional[Any] = None
 
     @property
     def float_dtype(self):

@@ -274,7 +274,7 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
             param_set = model.earth_param_set
             nu_eff = sp.nu - theta_i
             theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
-            T, kappa, _ = energy_center_fields(
+            T, kappa, rho_c_s = energy_center_fields(
                 model, theta_l, theta_i, rho_e_int=rho_e_int
             )
             rho_e_int_l = sh.volumetric_internal_energy_liq(T, param_set)
@@ -303,10 +303,31 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
                 fluxes["top"]["f_rho_e_int"],
                 dz,
             )
+            # freeze-thaw phase change (TPU-build extension; the reference
+            # zeroes d theta_i — right_hand_side.jl:359)
+            d_theta_i = jnp.zeros_like(theta_i)
+            if model.freeze_thaw is not None:
+                from landhydrology_tpu.models.soil.freeze_thaw import (
+                    phase_change_sources,
+                )
+
+                src_l, src_i = phase_change_sources(
+                    model.freeze_thaw,
+                    model.hydrology_model.hydraulic_model,
+                    theta_l,
+                    theta_i,
+                    T,
+                    sp.nu,
+                    rho_c_s,
+                    param_set,
+                )
+                d_vartheta_l = d_vartheta_l + src_l
+                d_theta_i = d_theta_i + src_i
+
             return {
                 name: {
                     "vartheta_l": d_vartheta_l,
-                    "theta_i": jnp.zeros_like(theta_i),
+                    "theta_i": d_theta_i,
                     "rho_e_int": d_rho_e_int,
                 }
             }
