@@ -1,0 +1,116 @@
+"""Checkpoint / resume.
+
+The reference has no checkpointing — its nearest analogue is DiffEq's
+in-memory ``saveat`` snapshots (SURVEY.md §5).  The TPU build checkpoints
+``(Y, t, step)`` between scan segments; resume re-enters the loop at the
+saved state.  Uses orbax-checkpoint when available (async, sharded-array
+aware — the right tool on a pod slice) and falls back to a plain ``.npz``
+scheme that round-trips any dict-of-arrays pytree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+try:  # orbax is in the image; keep the fallback for minimal environments
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _flatten_with_paths(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template, flat: dict):
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in leaves_paths:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        arr = flat[key]
+        leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class CheckpointManager:
+    """Directory of numbered checkpoints with ``save``/``restore``/``latest``.
+
+    ``save(step, Y, t)`` writes atomically (tmp + rename).  ``restore(Y_like,
+    step=None)`` returns ``(Y, t, step)`` with arrays cast to the template's
+    dtypes (so an f64-written checkpoint restores cleanly into an f32 run
+    and vice versa).
+    """
+
+    def __init__(self, directory: str, use_orbax: Optional[bool] = None):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        self.use_orbax = _HAS_ORBAX if use_orbax is None else use_orbax
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:012d}")
+
+    def save(self, step: int, Y: dict, t: float) -> str:
+        path = self._path(step)
+        if self.use_orbax:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(
+                os.path.abspath(path) + ".orbax",
+                {"Y": jax.tree_util.tree_map(np.asarray, Y), "t": float(t)},
+                force=True,
+            )
+            ckptr.wait_until_finished()
+            return path + ".orbax"
+        flat = _flatten_with_paths(Y)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, __t=float(t), **flat)
+        os.replace(tmp, path + ".npz")
+        return path + ".npz"
+
+    def steps(self):
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                out.append(int(name.split("_")[1].split(".")[0]))
+        return sorted(set(out))
+
+    def latest(self) -> Optional[int]:
+        s = self.steps()
+        return s[-1] if s else None
+
+    def restore(self, Y_template: dict, step: Optional[int] = None) -> Tuple:
+        step = self.latest() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self._path(step)
+        if os.path.exists(path + ".orbax"):
+            ckptr = ocp.StandardCheckpointer()
+            target = {
+                "Y": jax.tree_util.tree_map(np.asarray, Y_template),
+                "t": 0.0,
+            }
+            restored = ckptr.restore(os.path.abspath(path) + ".orbax", target)
+            Y = jax.tree_util.tree_map(
+                lambda tmpl, v: jax.numpy.asarray(v, dtype=tmpl.dtype),
+                Y_template,
+                restored["Y"],
+            )
+            return Y, float(restored["t"]), step
+        data = np.load(path + ".npz")
+        t = float(data["__t"])
+        flat = {k: data[k] for k in data.files if k != "__t"}
+        return _unflatten_like(Y_template, flat), t, step

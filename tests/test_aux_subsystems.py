@@ -1,0 +1,97 @@
+"""Checkpoint/resume and diagnostics tests (SURVEY.md §5 subsystems)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from landhydrology_tpu import (
+    Column,
+    PrescribedTemperatureModel,
+    Simulation,
+    SoilColumnBC,
+    SoilComponentBC,
+    SoilHydrologyModel,
+    SoilModel,
+    SoilParams,
+    VerticalFlux,
+    initialize_states,
+)
+from landhydrology_tpu.checkpoint import CheckpointManager
+from landhydrology_tpu.constants import default_earth_param_set as ps
+from landhydrology_tpu.diagnostics import energy_total, nan_guard, water_mass
+from landhydrology_tpu.models.soil import vanGenuchten
+from landhydrology_tpu.timestepping import SSPRK33
+
+
+def _sim(Y=None, Ya=None, tf=100.0):
+    model = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=10),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-5, theta_r=0.0)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(-1e-6)),
+            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3),
+    )
+    if Y is None:
+        Y, Ya = initialize_states(
+            model,
+            lambda z, m: {
+                "vartheta_l": jnp.full_like(z, 0.2),
+                "theta_i": jnp.zeros_like(z),
+            },
+            0.0,
+        )
+    return model, Y, Ya, Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=1.0, tspan=(0.0, tf)
+    )
+
+
+@pytest.mark.parametrize("use_orbax", [False, True])
+def test_checkpoint_roundtrip_and_resume(tmp_path, use_orbax):
+    """Run 100 steps straight == run 50, checkpoint, restore, run 50."""
+    if use_orbax:
+        pytest.importorskip("orbax.checkpoint")
+    model, Y, Ya, sim_full = _sim(tf=100.0)
+    sim_full.run()
+    v_straight = np.asarray(sim_full.Y["soil"]["vartheta_l"])
+
+    _, _, _, sim_a = _sim(Y, Ya, tf=50.0)
+    sim_a.run()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), use_orbax=use_orbax)
+    p = mgr.save(step=50, Y=sim_a.Y, t=sim_a.t)
+    assert mgr.latest() == 50
+
+    Y_restored, t_restored, step = mgr.restore(Y)
+    assert step == 50 and t_restored == 50.0
+    _, _, _, sim_b = _sim(Y_restored, Ya, tf=100.0)
+    sim_b.t = t_restored
+    sim_b.run()
+    np.testing.assert_allclose(
+        np.asarray(sim_b.Y["soil"]["vartheta_l"]), v_straight, rtol=1e-15
+    )
+
+
+def test_water_mass_tracks_boundary_flux():
+    """With a constant downward top influx, d(mass)/dt == -flux exactly."""
+    model, Y, Ya, sim = _sim(tf=100.0)
+    dz = 0.1
+    m0 = float(water_mass(Y, dz, param_set=ps))
+    sim.run()
+    mf = float(water_mass(sim.Y, dz, param_set=ps))
+    # flux = -1e-6 m/s at top for 100 s -> +1e-4 m of water gained
+    np.testing.assert_allclose(mf - m0, 1e-4, rtol=1e-10)
+
+
+def test_nan_guard_raises():
+    Y_bad = {"soil": {"vartheta_l": jnp.asarray([0.1, jnp.nan])}}
+    with pytest.raises(FloatingPointError):
+        nan_guard(Y_bad)
+        jax.effects_barrier()
+    Y_ok = {"soil": {"vartheta_l": jnp.asarray([0.1, 0.2])}}
+    nan_guard(Y_ok)
+    jax.effects_barrier()
