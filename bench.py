@@ -123,8 +123,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny CPU run")
     p.add_argument("--nz", type=int, default=64)
-    p.add_argument("--ncol", type=int, default=131072)
-    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--ncol", type=int, default=65536)
+    p.add_argument("--steps", type=int, default=48)
     p.add_argument("--steps-per-call", type=int, default=16)
     p.add_argument("--tile-cols", type=int, default=512)
     p.add_argument("--dt", type=float, default=1.0)
