@@ -124,8 +124,8 @@ def main():
     p.add_argument("--smoke", action="store_true", help="tiny CPU run")
     p.add_argument("--nz", type=int, default=64)
     p.add_argument("--ncol", type=int, default=65536)
-    p.add_argument("--steps", type=int, default=48)
-    p.add_argument("--steps-per-call", type=int, default=16)
+    p.add_argument("--steps", type=int, default=96)
+    p.add_argument("--steps-per-call", type=int, default=48)
     p.add_argument("--tile-cols", type=int, default=512)
     p.add_argument("--dt", type=float, default=1.0)
     args = p.parse_args()
