@@ -52,8 +52,10 @@ def make_fused_column_run(
     state resident in VMEM.
 
     Requirements: fully coupled (energy + hydrology) model, ``(nz, ncol)``
-    state with ``ncol`` a multiple of ``tile_cols``, soil/hydraulics
-    parameters scalar or broadcastable per-tile, non-MOST BCs.  Chain calls
+    state with ``ncol`` a multiple of ``tile_cols``, non-MOST BCs.
+    Soil/hydraulics parameters may be scalars (baked as literals) or
+    per-column ``(ncol,)`` arrays (streamed as tiled kernel inputs —
+    heterogeneous-soil batches run at full kernel speed).  Chain calls
     (e.g. under ``lax.scan``) for longer horizons; time advances
     ``steps_per_call * dt`` per call.
     """
@@ -70,11 +72,55 @@ def make_fused_column_run(
         zc=np.asarray(grid_obj.zc),
         zf=np.asarray(grid_obj.zf),
     )
-    rhs = make_rhs(model, grid_lit)
     name = model.name
     dt_c = float(dt)
 
-    def kernel(t0_ref, zc_ref, vt_ref, ti_ref, re_ref, vt_out, ti_out, re_out):
+    # Heterogeneous per-column parameters: every array-valued leaf of the
+    # soil/hydraulics parameter pytrees becomes an extra kernel input,
+    # tiled along the column axis; scalar leaves are baked as literals.
+    hydrology = model.hydrology_model
+    param_trees = (
+        model.soil_param_set,
+        hydrology.hydraulic_model,
+        hydrology.viscosity_factor,
+        hydrology.impedance_factor,
+    )
+    flat_params, params_treedef = jax.tree_util.tree_flatten(param_trees)
+    # 0-d device arrays would be captured constants (unsupported): bake them
+    flat_params = [
+        float(leaf) if jnp.ndim(leaf) == 0 else leaf for leaf in flat_params
+    ]
+    array_idx = [
+        i for i, leaf in enumerate(flat_params) if jnp.ndim(leaf) >= 1
+    ]
+    array_params = [
+        jnp.asarray(flat_params[i], dtype=dtype).reshape(1, -1) for i in array_idx
+    ]
+    n_params = len(array_params)
+
+    def _model_for_tile(tile_leaves):
+        leaves = list(flat_params)
+        for pos, val in zip(array_idx, tile_leaves):
+            leaves[pos] = val  # (1, tile) block, broadcasts over (nz, tile)
+        sp, hm, visc, imp = jax.tree_util.tree_unflatten(params_treedef, leaves)
+        return dataclasses.replace(
+            model,
+            soil_param_set=sp,
+            hydrology_model=dataclasses.replace(
+                hydrology,
+                hydraulic_model=hm,
+                viscosity_factor=visc,
+                impedance_factor=imp,
+            ),
+        )
+
+    def kernel(t0_ref, zc_ref, *refs):
+        param_refs = refs[:n_params]
+        vt_ref, ti_ref, re_ref, vt_out, ti_out, re_out = refs[n_params:]
+        # (1, tile) blocks -> (tile,): broadcasts against both (nz, tile)
+        # center fields and (tile,) boundary-face slices
+        model_tile = _model_for_tile([r[:][0] for r in param_refs])
+        rhs = make_rhs(model_tile, grid_lit)
         Y = {
             name: {
                 "vartheta_l": vt_ref[:],
@@ -108,12 +154,23 @@ def make_fused_column_run(
         col_spec = pl.BlockSpec(
             (nz, tile_cols), lambda i: (0, i), memory_space=pltpu.VMEM
         )
+        param_spec = pl.BlockSpec(
+            (1, tile_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        for p in array_params:
+            if p.shape[1] != ncol:
+                raise ValueError(
+                    f"per-column parameter of length {p.shape[1]} does not "
+                    f"match ncol={ncol}"
+                )
+        n_in = 2 + n_params  # t0, zc, params... precede the state
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # t0
                 pl.BlockSpec((nz, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                *([param_spec] * n_params),
                 col_spec,
                 col_spec,
                 col_spec,
@@ -122,9 +179,9 @@ def make_fused_column_run(
             out_shape=tuple(
                 jax.ShapeDtypeStruct((nz, ncol), dtype) for _ in range(3)
             ),
-            input_output_aliases={2: 0, 3: 1, 4: 2},
+            input_output_aliases={n_in: 0, n_in + 1: 1, n_in + 2: 2},
             interpret=interpret,
-        )(t0, zc, vt, ti, re)
+        )(t0, zc, *array_params, vt, ti, re)
         return {
             name: {
                 "vartheta_l": out[0],

@@ -121,3 +121,51 @@ def test_fused_kernel_rejects_bad_tiling():
     run = make_fused_column_run(model, SSPRK33(), dt=1.0, tile_cols=100, interpret=True)
     with pytest.raises(ValueError):
         run(_state(), 0.0)
+
+
+def test_fused_kernel_heterogeneous_params():
+    """Per-column van Genuchten + porosity arrays run through the kernel
+    and match the XLA scan path."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    base = _model(VerticalFlux(0.0), FreeDrainage())
+    hm_b = vanGenuchten(
+        n=jnp.asarray(rng.uniform(1.5, 3.5, NCOL)),
+        alpha=jnp.asarray(rng.uniform(1.5, 4.0, NCOL)),
+        Ksat=jnp.asarray(rng.uniform(1e-7, 1e-5, NCOL)),
+        theta_r=jnp.asarray(rng.uniform(0.0, 0.05, NCOL)),
+    )
+    msp_b = dataclasses.replace(
+        base.soil_param_set, nu=jnp.asarray(rng.uniform(0.45, 0.55, NCOL))
+    )
+    model = dataclasses.replace(
+        base,
+        hydrology_model=dataclasses.replace(
+            base.hydrology_model, hydraulic_model=hm_b
+        ),
+        soil_param_set=msp_b,
+    )
+    grid = make_function_space(model.domain, jnp.float64)
+    Y = _state()
+    Ya = {"zc": grid.zc, "soil": {}}
+    stepper, dt, n = SSPRK33(), 5.0, 8
+
+    rhs = make_rhs(model, grid)
+    Yr, t = Y, jnp.asarray(0.0)
+    for i in range(n):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(dt))
+        t = t + dt
+
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]),
+            np.asarray(Yr["soil"][k]),
+            rtol=1e-12,
+            atol=1e-16,
+            err_msg=k,
+        )
