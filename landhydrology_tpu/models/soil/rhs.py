@@ -151,13 +151,26 @@ def _add_lateral(model: SoilModel, d_vartheta_l: Array, h: Array, dz: Array) -> 
     return d_vartheta_l.at[top].add(lateral_surface_tendency(model, h[top], dz))
 
 
-def _face_fluxes(model, grid, X, t):
-    """Boundary fluxes at both faces (cf. ``right_hand_side.jl:134-149``)."""
+def _face_fluxes(model, grid, X, t, required=()):
+    """Boundary fluxes at both faces (cf. ``right_hand_side.jl:134-149``).
+
+    ``required`` names flux keys that must be present (non-NoBC) for the
+    model's dynamic components; a missing one raises immediately with the
+    face and key instead of failing later inside the divergence."""
     bcs = model.boundary_conditions
-    return {
+    fluxes = {
         "bottom": boundary_fluxes(X, bcs.bottom, "bottom", model, grid, t),
         "top": boundary_fluxes(X, bcs.top, "top", model, grid, t),
     }
+    for face, per_face in fluxes.items():
+        for key in required:
+            if per_face.get(key) is None:
+                raise ValueError(
+                    f"model with dynamic components requires a boundary "
+                    f"condition producing '{key}' at the {face} face "
+                    f"(got NoBC)"
+                )
+    return fluxes
 
 
 # --------------------------------------------------------------------------
@@ -213,7 +226,7 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
             h = psi + zc
 
             X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
-            fluxes = _face_fluxes(model, grid, X, t)
+            fluxes = _face_fluxes(model, grid, X, t, required=("f_vartheta_l",))
 
             water_flux = diffusive_flux_faces(K, h, dz)
             d_vartheta_l = -div_f2c(
@@ -249,7 +262,7 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
             )
 
             X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
-            fluxes = _face_fluxes(model, grid, X, t)
+            fluxes = _face_fluxes(model, grid, X, t, required=("f_rho_e_int",))
 
             heat_flux = diffusive_flux_faces(kappa, T, dz)
             d_rho_e_int = -div_f2c(
@@ -282,7 +295,9 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
             h = psi + zc
 
             X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
-            fluxes = _face_fluxes(model, grid, X, t)
+            fluxes = _face_fluxes(
+                model, grid, X, t, required=("f_vartheta_l", "f_rho_e_int")
+            )
 
             water_flux = diffusive_flux_faces(K, h, dz)  # -K grad h on faces
             d_vartheta_l = -div_f2c(

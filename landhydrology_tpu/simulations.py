@@ -68,6 +68,9 @@ class Simulation:
         dt: float,
         tspan: tuple,
         saveat: Optional[float] = None,
+        engine: str = "xla",
+        steps_per_call: int = 48,
+        tile_cols: int = 512,
     ):
         if Y_init is None:
             Y_init, Ya_init = model.default_initial_conditions()
@@ -92,6 +95,26 @@ class Simulation:
 
         self._dtype = dtype
         self._run_cache: dict = {}
+        if engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        self._steps_per_call = int(steps_per_call)
+        self._tile_cols = int(tile_cols)
+        self._fused = None
+        if engine == "pallas":
+            import jax as _jax
+
+            from landhydrology_tpu.ops.pallas import make_fused_column_run
+
+            self._fused_interpret = _jax.default_backend() != "tpu"
+            self._fused_factory = lambda spc: make_fused_column_run(
+                model,
+                stepper,
+                dt=self.dt,
+                steps_per_call=spc,
+                tile_cols=self._tile_cols,
+                interpret=self._fused_interpret,
+            )
 
     def _make_run_fn(self, n_saves: int, save_every: int, rem: int):
         """Compiled runner for a given (saves x stride + remainder) split;
@@ -101,24 +124,57 @@ class Simulation:
             return self._run_cache[key]
         rhs, stepper_, dt_, dtype = self._rhs, self.stepper, self.dt, self._dtype
 
-        def _run(Y, Ya, t0):
-            dt_a = jnp.asarray(dt_, dtype=dtype)
+        if self.engine == "pallas":
+            # fused multi-step kernel between saves: pick the largest
+            # steps-per-call that divides the save stride
+            spc = min(self._steps_per_call, save_every)
+            while save_every % spc:
+                spc -= 1
+            fused = self._fused_factory(spc)
+            fused_rem = self._fused_factory(rem) if rem else None
 
-            def inner(carry, _):
-                Y, t = carry
-                return (stepper_.step(rhs, Y, Ya, t, dt_a), t + dt_a), None
+            def _run(Y, Ya, t0):
+                dt_a = jnp.asarray(dt_, dtype=dtype)
 
-            def outer(carry, _):
-                carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
-                Y, t = carry
-                return carry, (t, Y)
+                def inner(carry, _):
+                    Y, t = carry
+                    return (fused(Y, t), t + spc * dt_a), None
 
-            carry = (Y, jnp.asarray(t0, dtype=dtype))
-            carry, (ts, us) = jax.lax.scan(outer, carry, None, length=n_saves)
-            if rem:
-                carry, _ = jax.lax.scan(inner, carry, None, length=rem)
-            Yf, tf = carry
-            return Yf, tf, ts, us
+                def outer(carry, _):
+                    carry, _ = jax.lax.scan(
+                        inner, carry, None, length=save_every // spc
+                    )
+                    Y, t = carry
+                    return carry, (t, Y)
+
+                carry = (Y, jnp.asarray(t0, dtype=dtype))
+                carry, (ts, us) = jax.lax.scan(outer, carry, None, length=n_saves)
+                if rem:
+                    Y, t = carry
+                    carry = (fused_rem(Y, t), t + rem * dt_a)
+                Yf, tf = carry
+                return Yf, tf, ts, us
+
+        else:
+
+            def _run(Y, Ya, t0):
+                dt_a = jnp.asarray(dt_, dtype=dtype)
+
+                def inner(carry, _):
+                    Y, t = carry
+                    return (stepper_.step(rhs, Y, Ya, t, dt_a), t + dt_a), None
+
+                def outer(carry, _):
+                    carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
+                    Y, t = carry
+                    return carry, (t, Y)
+
+                carry = (Y, jnp.asarray(t0, dtype=dtype))
+                carry, (ts, us) = jax.lax.scan(outer, carry, None, length=n_saves)
+                if rem:
+                    carry, _ = jax.lax.scan(inner, carry, None, length=rem)
+                Yf, tf = carry
+                return Yf, tf, ts, us
 
         fn = jax.jit(_run)
         self._run_cache[key] = fn
@@ -131,11 +187,15 @@ class Simulation:
         self.Y = self._step_fn(self.Y, self.Ya, jnp.asarray(self.t))
         self.t += self.dt
 
-    def run(self) -> Solution:
+    def run(self, sink=None) -> Solution:
         """Integrate to the end of ``tspan`` and return the saved trajectory
         (cf. ``run!``, ``simulation.jl:86-87``).  Continues from the current
         (Y, t) to ``tspan[1]`` exactly (DiffEq ``solve!`` semantics); stores
-        the result on ``self.sol`` as well."""
+        the result on ``self.sol`` as well.
+
+        ``sink``: optional
+        :class:`~landhydrology_tpu.runtime.TrajectorySink` — every saved
+        state is streamed to it (async on the native writer thread)."""
         Y0, t0 = self.Y, self.t
         n_steps = max(0, int(round((self.tspan[1] - t0) / self.dt)))
         if self.saveat is not None:
@@ -161,6 +221,20 @@ class Simulation:
                 lambda xs, xf: jnp.concatenate([xs, xf[None]]), us_full, Yf
             )
         self.sol = Solution(ts=ts_full, us=us_full)
+        if sink is not None:
+            import numpy as _np
+
+            for k in range(len(self.sol)):
+                state = self.sol.state(k)
+                flat = {
+                    "/".join(map(str, path)): _np.asarray(leaf)
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+                    for path in [
+                        tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path)
+                    ]
+                }
+                sink.append(k, float(self.sol.ts[k]), flat)
+            sink.flush()
         return self.sol
 
 

@@ -95,3 +95,69 @@ def test_nan_guard_raises():
     Y_ok = {"soil": {"vartheta_l": jnp.asarray([0.1, 0.2])}}
     nan_guard(Y_ok)
     jax.effects_barrier()
+
+
+def test_simulation_pallas_engine_and_sink(tmp_path):
+    """engine='pallas' (interpret on CPU) matches the XLA engine exactly,
+    and run(sink=...) streams the trajectory to the native writer."""
+    from landhydrology_tpu.runtime import TrajectorySink, read_trajectory
+    from landhydrology_tpu import SoilEnergyModel
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+    import dataclasses
+
+    from landhydrology_tpu import SoilColumnBC as _BC
+
+    model, Y0, Ya0, _ = _sim()
+    model = dataclasses.replace(
+        model,
+        domain=dataclasses.replace(model.domain, batch_shape=(8,)),
+        energy_model=SoilEnergyModel(),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(
+                hydrology=VerticalFlux(-1e-6), energy=VerticalFlux(0.0)
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+    )
+    theta = jnp.broadcast_to(jnp.linspace(0.15, 0.25, 8)[None, :], (10, 8))
+    ti = jnp.zeros((10, 8))
+    rcs = volumetric_heat_capacity(theta, ti, 2700.0, ps)
+    Y = {
+        "soil": {
+            "vartheta_l": theta,
+            "theta_i": ti,
+            "rho_e_int": volumetric_internal_energy(
+                ti, rcs, jnp.full((10, 8), 288.0), ps
+            ),
+        }
+    }
+    from landhydrology_tpu.domains import make_function_space
+
+    Ya = {"zc": make_function_space(model.domain, jnp.float64).zc, "soil": {}}
+
+    kw = dict(Y_init=Y, Ya_init=Ya, dt=1.0, tspan=(0.0, 24.0), saveat=8.0)
+    sim_x = Simulation(model, SSPRK33(), **kw)
+    sim_x.run()
+    sim_p = Simulation(
+        model, SSPRK33(), engine="pallas", steps_per_call=4, tile_cols=8, **kw
+    )
+    sink = TrajectorySink(str(tmp_path / "traj.bin"))
+    sol = sim_p.run(sink=sink)
+    sink.close()
+
+    np.testing.assert_allclose(
+        np.asarray(sim_p.Y["soil"]["vartheta_l"]),
+        np.asarray(sim_x.Y["soil"]["vartheta_l"]),
+        rtol=1e-13,
+    )
+    back = read_trajectory(str(tmp_path / "traj.bin"))
+    assert len(back) == len(sol)
+    np.testing.assert_allclose(
+        back[-1][2]["soil/vartheta_l"],
+        np.asarray(sol.state(-1)["soil"]["vartheta_l"]),
+    )
