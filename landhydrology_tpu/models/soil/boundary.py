@@ -49,12 +49,14 @@ class AbstractBC:
     """Per-component boundary condition (cf. ``boundary_conditions.jl:19``)."""
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NoBC(AbstractBC):
     """No boundary condition — prescribed components
     (cf. ``boundary_conditions.jl:27``)."""
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VerticalFlux(AbstractBC):
     """Prescribed vertical boundary flux F = f zhat; positive aligned with +z
@@ -64,6 +66,7 @@ class VerticalFlux(AbstractBC):
     flux: ValueLike = 0.0
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Dirichlet(AbstractBC):
     """Boundary value of the state (vartheta_l for hydrology, T for energy),
@@ -72,6 +75,7 @@ class Dirichlet(AbstractBC):
     state_value: ValueLike = 0.0
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FreeDrainage(AbstractBC):
     """Free drainage at the bottom: grad(h) = 1, flux = -K(theta_center)
@@ -111,6 +115,7 @@ class AbstractFaceBC:
     (cf. ``boundary_conditions.jl:82``)."""
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SoilComponentBC(AbstractFaceBC):
     """Energy + hydrology BCs for one face
@@ -120,6 +125,7 @@ class SoilComponentBC(AbstractFaceBC):
     hydrology: AbstractBC = dataclasses.field(default_factory=NoBC)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PrescribedAtmosForcing(AbstractFaceBC):
     """Atmospheric state driving Monin-Obukhov surface fluxes at the top face
@@ -134,6 +140,7 @@ class PrescribedAtmosForcing(AbstractFaceBC):
     q_atm: Array  # specific humidity at z_atm
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SoilColumnBC:
     """BCs for both boundary faces (cf. ``boundary_conditions.jl:144-161``)."""

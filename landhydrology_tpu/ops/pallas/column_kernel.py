@@ -84,25 +84,39 @@ def make_fused_column_run(
         hydrology.hydraulic_model,
         hydrology.viscosity_factor,
         hydrology.impedance_factor,
+        model.boundary_conditions,  # BatchedBC kinds/values etc. are leaves
     )
     flat_params, params_treedef = jax.tree_util.tree_flatten(param_trees)
+
+    def _is_array(leaf):
+        return hasattr(leaf, "ndim") and not callable(leaf)
+
     # 0-d device arrays would be captured constants (unsupported): bake them
     flat_params = [
-        float(leaf) if jnp.ndim(leaf) == 0 else leaf for leaf in flat_params
+        leaf.item() if _is_array(leaf) and leaf.ndim == 0 else leaf
+        for leaf in flat_params
     ]
     array_idx = [
-        i for i, leaf in enumerate(flat_params) if jnp.ndim(leaf) >= 1
+        i for i, leaf in enumerate(flat_params) if _is_array(leaf) and leaf.ndim >= 1
     ]
+    # int leaves (BatchedBC kinds) keep their dtype; floats take the model's
     array_params = [
-        jnp.asarray(flat_params[i], dtype=dtype).reshape(1, -1) for i in array_idx
+        (
+            jnp.asarray(flat_params[i]).reshape(1, -1)
+            if jnp.issubdtype(jnp.asarray(flat_params[i]).dtype, jnp.integer)
+            else jnp.asarray(flat_params[i], dtype=dtype).reshape(1, -1)
+        )
+        for i in array_idx
     ]
     n_params = len(array_params)
 
     def _model_for_tile(tile_leaves):
         leaves = list(flat_params)
         for pos, val in zip(array_idx, tile_leaves):
-            leaves[pos] = val  # (1, tile) block, broadcasts over (nz, tile)
-        sp, hm, visc, imp = jax.tree_util.tree_unflatten(params_treedef, leaves)
+            leaves[pos] = val  # (tile,) block slice, broadcasts everywhere
+        sp, hm, visc, imp, bcs = jax.tree_util.tree_unflatten(
+            params_treedef, leaves
+        )
         return dataclasses.replace(
             model,
             soil_param_set=sp,
@@ -112,6 +126,7 @@ def make_fused_column_run(
                 viscosity_factor=visc,
                 impedance_factor=imp,
             ),
+            boundary_conditions=bcs,
         )
 
     def kernel(t0_ref, zc_ref, *refs):
