@@ -51,8 +51,10 @@ def make_fused_column_run(
     """Build ``run(Y, t0) -> Y'`` advancing ``steps_per_call`` steps with the
     state resident in VMEM.
 
-    Requirements: fully coupled (energy + hydrology) model, ``(nz, ncol)``
-    state with ``ncol`` a multiple of ``tile_cols``, non-MOST BCs.
+    Requirements: at least one dynamic component (any of the four
+    energy x hydrology combos with dynamics), ``(nz, ncol)`` state with
+    ``ncol`` a multiple of ``tile_cols``, non-MOST BCs.  Prescribed-field
+    profiles are recomputed inside the kernel from (z, t).
     Soil/hydraulics parameters may be scalars (baked as literals) or
     per-column ``(ncol,)`` arrays (streamed as tiled kernel inputs —
     heterogeneous-soil batches run at full kernel speed).  Chain calls
@@ -129,20 +131,24 @@ def make_fused_column_run(
             boundary_conditions=bcs,
         )
 
+    from landhydrology_tpu.models.soil.initial_conditions import prognostic_vars
+
+    state_vars = prognostic_vars(model)
+    n_state = len(state_vars)
+    if n_state == 0:
+        raise ValueError("fused kernel needs at least one dynamic component")
+
     def kernel(t0_ref, zc_ref, *refs):
         param_refs = refs[:n_params]
-        vt_ref, ti_ref, re_ref, vt_out, ti_out, re_out = refs[n_params:]
+        state_refs = refs[n_params : n_params + n_state]
+        out_refs = refs[n_params + n_state :]
         # (1, tile) blocks -> (tile,): broadcasts against both (nz, tile)
         # center fields and (tile,) boundary-face slices
         model_tile = _model_for_tile([r[:][0] for r in param_refs])
         rhs = make_rhs(model_tile, grid_lit)
-        Y = {
-            name: {
-                "vartheta_l": vt_ref[:],
-                "theta_i": ti_ref[:],
-                "rho_e_int": re_ref[:],
-            }
-        }
+        Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
+        # prescribed aux fields are recomputed from their (z, t) profiles by
+        # the rhs's update_aux, entirely inside the kernel
         Ya = {"zc": zc_ref[:], name: {}}
         t0 = t0_ref[0]
 
@@ -151,15 +157,12 @@ def make_fused_column_run(
             return stepper.step(rhs, Y, Ya, t, jnp.asarray(dt_c, dtype=dtype))
 
         Yf = jax.lax.fori_loop(0, steps_per_call, body, Y)
-        vt_out[:] = Yf[name]["vartheta_l"]
-        ti_out[:] = Yf[name]["theta_i"]
-        re_out[:] = Yf[name]["rho_e_int"]
+        for k, r in zip(state_vars, out_refs):
+            r[:] = Yf[name][k]
 
     def run(Y: dict, t0) -> dict:
-        vt = Y[name]["vartheta_l"]
-        ti = Y[name]["theta_i"]
-        re = Y[name]["rho_e_int"]
-        ncol = vt.shape[1]
+        states = [Y[name][k] for k in state_vars]
+        ncol = states[0].shape[1]
         if ncol % tile_cols:
             raise ValueError(f"ncol={ncol} not a multiple of tile_cols={tile_cols}")
         n_tiles = ncol // tile_cols
@@ -186,23 +189,17 @@ def make_fused_column_run(
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # t0
                 pl.BlockSpec((nz, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 *([param_spec] * n_params),
-                col_spec,
-                col_spec,
-                col_spec,
+                *([col_spec] * n_state),
             ],
-            out_specs=(col_spec, col_spec, col_spec),
+            out_specs=tuple([col_spec] * n_state),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((nz, ncol), dtype) for _ in range(3)
+                jax.ShapeDtypeStruct((nz, ncol), dtype) for _ in range(n_state)
             ),
-            input_output_aliases={n_in: 0, n_in + 1: 1, n_in + 2: 2},
+            input_output_aliases={n_in + j: j for j in range(n_state)},
             interpret=interpret,
-        )(t0, zc, *array_params, vt, ti, re)
-        return {
-            name: {
-                "vartheta_l": out[0],
-                "theta_i": out[1],
-                "rho_e_int": out[2],
-            }
-        }
+        )(t0, zc, *array_params, *states)
+        if n_state == 1:
+            out = (out,) if not isinstance(out, (tuple, list)) else out
+        return {name: {k: o for k, o in zip(state_vars, out)}}
 
     return run

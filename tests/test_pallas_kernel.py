@@ -169,3 +169,44 @@ def test_fused_kernel_heterogeneous_params():
             atol=1e-16,
             err_msg=k,
         )
+
+
+def test_fused_kernel_richards_only():
+    """Prescribed-temperature Richards-only model through the fused kernel
+    (prescribed T recomputed in-kernel) matches the scan path."""
+    from landhydrology_tpu import PrescribedTemperatureModel
+    import dataclasses
+
+    base = _model(Dirichlet(lambda t: 0.4), FreeDrainage())
+    model = dataclasses.replace(
+        base,
+        energy_model=PrescribedTemperatureModel(
+            T_profile=lambda z, t: 285.0 + 2.0 * z + 0.0 * t
+        ),
+    )
+    grid = make_function_space(model.domain, jnp.float64)
+    full = _state()
+    Y = {"soil": {k: full["soil"][k] for k in ("vartheta_l", "theta_i")}}
+    Ya = {"zc": grid.zc, "soil": {}}
+    stepper, dt, n = SSPRK33(), 5.0, 8
+
+    from landhydrology_tpu.models.soil.rhs import make_update_aux
+
+    rhs = make_rhs(model, grid)
+    Yr, t = Y, jnp.asarray(0.0)
+    for i in range(n):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(dt))
+        t = t + dt
+
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]),
+            np.asarray(Yr["soil"][k]),
+            rtol=1e-12,
+            atol=1e-16,
+            err_msg=k,
+        )
