@@ -155,7 +155,14 @@ def matric_potential(hm: vanGenuchten, S: Array) -> Array:
 
 def inverse_matric_potential(hm: vanGenuchten, psi: Array) -> Array:
     """S = (1 + (alpha |psi|)^n)^(-m), psi <= 0
-    (cf. ``SoilWaterParameterizations.jl:253-258``)."""
+    (cf. ``SoilWaterParameterizations.jl:253-258``).
+
+    The reference errors on positive psi (``:254``); here the check runs
+    eagerly on concrete inputs (under jit the caller guarantees the domain).
+    """
+    if not isinstance(psi, jax.core.Tracer):
+        if bool(jnp.any(jnp.asarray(psi) > 0)):
+            raise ValueError("Matric potential is positive")
     n, alpha, m = hm.n, hm.alpha, hm.m
     return (1.0 + (alpha * jnp.abs(psi)) ** n) ** (-m)
 

@@ -125,3 +125,11 @@ def test_closures_are_gradient_safe():
     )(0.6)
     g3 = jax.grad(lambda v: pressure_head(hm64, v, nu, S_s))(0.3)  # unsat
     assert np.isfinite(g1) and np.isfinite(g2) and np.isfinite(g3)
+
+
+def test_inverse_matric_potential_rejects_positive_psi():
+    """Reference parity: positive matric potential is a domain error
+    (``test_water_parameterizations.jl:19``)."""
+    hm64 = vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-6, theta_r=0.0)
+    with pytest.raises(ValueError, match="positive"):
+        inverse_matric_potential(hm64, 1.0)

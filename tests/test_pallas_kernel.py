@@ -210,3 +210,40 @@ def test_fused_kernel_richards_only():
             atol=1e-16,
             err_msg=k,
         )
+
+
+def test_fused_kernel_with_most_forcing():
+    """Monin-Obukhov atmospheric forcing traced inside the fused kernel
+    (interpret) matches the scan path."""
+    from landhydrology_tpu import PrescribedAtmosForcing
+    import dataclasses
+
+    base = _model(VerticalFlux(0.0), VerticalFlux(0.0))
+    bc = dataclasses.replace(
+        base.boundary_conditions,
+        top=PrescribedAtmosForcing(
+            u_atm=0.34, theta_atm=299.0, z_atm=0.05, theta_scale=299.0,
+            rho_a_sfc=1.17, q_atm=0.015,
+        ),
+    )
+    model = dataclasses.replace(base, boundary_conditions=bc)
+    grid = make_function_space(model.domain, jnp.float64)
+    Y = _state()
+    Ya = {"zc": grid.zc, "soil": {}}
+    stepper, dt, n = SSPRK33(), 20.0, 4
+
+    rhs = make_rhs(model, grid)
+    Yr, t = Y, jnp.asarray(0.0)
+    for i in range(n):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(dt))
+        t = t + dt
+
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]), np.asarray(Yr["soil"][k]),
+            rtol=1e-12, err_msg=k,
+        )
