@@ -163,3 +163,93 @@ class BackwardEulerRichards(AbstractTimestepper):
                 if k != "vartheta_l":
                     out[k] = Y[name][k] + dt * f_all[k]
         return {name: out}
+
+
+@dataclasses.dataclass(frozen=True)
+class BackwardEulerSoil(AbstractTimestepper):
+    """Fully implicit (operator-split) backward-Euler step for the coupled
+    soil model: the Richards update of :class:`BackwardEulerRichards`
+    followed by a backward-Euler heat update that solves the linear
+    tridiagonal system in ``rho_e_int`` with frozen kappa and frozen
+    ``dT/d rho_e_int = 1/rho_c_s`` (exact for the conduction term; the
+    advective energy flux rides the rhs).  First order; unconditionally
+    stable for both diffusion operators."""
+
+    model: SoilModel
+    grid: ColumnGrid
+    iters: int = 2
+
+    def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
+        from landhydrology_tpu.models.soil import heat as sh
+        from landhydrology_tpu.models.soil.model import SoilEnergyModel
+        from landhydrology_tpu.models.soil.rhs import energy_center_fields
+
+        model, grid = self.model, self.grid
+        name = model.name
+        if not isinstance(model.energy_model, SoilEnergyModel):
+            raise TypeError("BackwardEulerSoil needs a dynamic energy model")
+
+        # 1) implicit water update (Newton tridiagonal)
+        water = BackwardEulerRichards(model=model, grid=grid, iters=self.iters)
+        # reuse only the water solve: run it on a state view without the
+        # explicit trailing update by temporarily dropping rho_e_int
+        Y_water = {name: {k: Y[name][k] for k in ("vartheta_l", "theta_i")}}
+
+        def rhs_water(Yw, Ya_, t_):
+            full = {name: dict(Y[name], **Yw[name])}
+            d = rhs(full, Ya_, t_)[name]
+            return {name: {k: d[k] for k in ("vartheta_l", "theta_i")}}
+
+        v_new = water.step(rhs_water, Y_water, Ya, t, dt)[name]["vartheta_l"]
+
+        # 2) implicit heat update with the new water field
+        sp = model.soil_param_set
+        t_new = t + dt
+        e_n = Y[name]["rho_e_int"]
+        theta_i = Y[name]["theta_i"]
+        nu_eff = sp.nu - theta_i
+        theta_l = sw.volumetric_liquid_fraction(v_new, nu_eff)
+
+        def iterate(e_m, _):
+            Ym = {name: dict(Y[name], vartheta_l=v_new, rho_e_int=e_m)}
+            f = rhs(Ym, Ya, t_new)[name]["rho_e_int"]
+            _, kappa, rho_c_s = energy_center_fields(
+                model, theta_l, theta_i, rho_e_int=e_m
+            )
+            C = 1.0 / rho_c_s  # dT/d rho_e_int
+            Kf = interp_c2f_interior(kappa)
+            zeros = jnp.zeros_like(kappa[:1])
+            K_minus = jnp.concatenate([zeros, Kf], axis=0)
+            K_plus = jnp.concatenate([Kf, zeros], axis=0)
+            dz = grid.dz
+            inv_dz2 = 1.0 / (dz * dz)
+            diag_A = -(K_minus + K_plus) * C * inv_dz2
+            sub_A = K_minus * jnp.roll(C, 1, axis=0) * inv_dz2
+            sup_A = K_plus * jnp.roll(C, -1, axis=0) * inv_dz2
+
+            from landhydrology_tpu.models.soil.boundary import Dirichlet
+
+            bcs = model.boundary_conditions
+            dz_half = grid.dz_boundary
+            top = e_m.shape[0] - 1
+            bc_bot = getattr(bcs.bottom, "energy", None)
+            bc_top = getattr(bcs.top, "energy", None)
+            if isinstance(bc_bot, Dirichlet):
+                diag_A = diag_A.at[0].add(-kappa[0] * C[0] / (dz_half * dz))
+            if isinstance(bc_top, Dirichlet):
+                diag_A = diag_A.at[top].add(-kappa[top] * C[top] / (dz_half * dz))
+
+            dl = -dt * sub_A
+            d = 1.0 - dt * diag_A
+            du = -dt * sup_A
+            b = e_n - e_m + dt * f
+            return e_m + thomas_solve(dl, d, du, b), None
+
+        e_new, _ = jax.lax.scan(iterate, e_n, None, length=self.iters)
+        out = dict(Y[name], vartheta_l=v_new, rho_e_int=e_new)
+        if model.freeze_thaw is not None:
+            # phase-change source advanced explicitly on the updated state
+            Yf = {name: dict(out)}
+            d = rhs(Yf, Ya, t_new)[name]
+            out["theta_i"] = Y[name]["theta_i"] + dt * d["theta_i"]
+        return {name: out}

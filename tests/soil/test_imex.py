@@ -125,3 +125,94 @@ def test_implicit_matches_explicit_short_horizon():
     assert np.all(np.isfinite(v_im))
     # first-order implicit vs third-order explicit: agree to O(dt) accuracy
     assert np.max(np.abs(v_ex - v_im)) < 5e-3
+
+
+def test_backward_euler_soil_coupled():
+    """Fully implicit coupled step (water Newton + linear heat tridiag) at
+    dt far beyond both CFL limits relaxes toward the same coupled
+    equilibrium as the explicit path (shortened horizon)."""
+    from landhydrology_tpu import SoilEnergyModel
+    from landhydrology_tpu.constants import default_earth_param_set as ps
+    from landhydrology_tpu.imex import BackwardEulerSoil
+    from landhydrology_tpu.models.soil.heat import (
+        k_solid,
+        ksat_frozen,
+        ksat_unfrozen,
+        temperature_from_rho_e_int,
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+    from landhydrology_tpu.timestepping import SSPRK33
+
+    nu = 0.5
+    ks = k_solid(0.0, 0.92, 7.7, 2.5, 0.25)
+    rho_c_ds = (1 - nu) * 1.926e6
+    msp = SoilParams(
+        nu=nu,
+        S_s=1e-3,
+        nu_ss_quartz=0.92,
+        rho_c_ds=rho_c_ds,
+        kappa_solid=ks,
+        kappa_sat_unfrozen=ksat_unfrozen(ks, nu, 0.57),
+        kappa_sat_frozen=ksat_frozen(ks, nu, 2.29),
+    )
+    model = SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=20),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(
+                n=2.0, alpha=2.6, Ksat=0.0443 / 3600 / 100, theta_r=0.0
+            )
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=msp,
+    )
+
+    def ic(z, m):
+        T = 289.0 + 5.0 * z
+        theta = jnp.full_like(z, 0.45)
+        ti = jnp.zeros_like(z)
+        rcs = volumetric_heat_capacity(theta, ti, rho_c_ds, ps)
+        return {
+            "vartheta_l": theta,
+            "theta_i": ti,
+            "rho_e_int": volumetric_internal_energy(ti, rcs, T, ps),
+        }
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+    grid = make_function_space(model.domain, jnp.float64)
+    tf = 3600.0 * 24.0
+
+    sim_ex = Simulation(model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=20.0,
+                        tspan=(0.0, tf))
+    sim_ex.run()
+    sim_im = Simulation(
+        model,
+        BackwardEulerSoil(model=model, grid=grid, iters=3),
+        Y_init=Y,
+        Ya_init=Ya,
+        dt=600.0,  # 30x the explicit dt
+        tspan=(0.0, tf),
+    )
+    sim_im.run()
+
+    v_ex = np.asarray(sim_ex.Y["soil"]["vartheta_l"])
+    v_im = np.asarray(sim_im.Y["soil"]["vartheta_l"])
+    e_ex = np.asarray(sim_ex.Y["soil"]["rho_e_int"])
+    e_im = np.asarray(sim_im.Y["soil"]["rho_e_int"])
+    assert np.all(np.isfinite(v_im)) and np.all(np.isfinite(e_im))
+    assert np.max(np.abs(v_ex - v_im)) < 2e-3
+    # temperatures agree to ~0.05 K
+    rcs = volumetric_heat_capacity(v_ex, 0.0, rho_c_ds, ps)
+    T_ex = np.asarray(temperature_from_rho_e_int(e_ex, 0.0, rcs, ps))
+    rcs_i = volumetric_heat_capacity(v_im, 0.0, rho_c_ds, ps)
+    T_im = np.asarray(temperature_from_rho_e_int(e_im, 0.0, rcs_i, ps))
+    assert np.max(np.abs(T_ex - T_im)) < 0.05
+    # conservation through both implicit solves
+    assert abs(v_im.sum() - v_ex.sum()) / v_ex.sum() < 1e-10
+    assert abs(e_im.sum() - e_ex.sum()) / abs(e_ex.sum()) < 1e-8
