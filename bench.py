@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build(nz, ncol, dtype):
+def build(nz, ncol, dtype, no_ice=False):
     import jax.numpy as jnp
 
     from landhydrology_tpu import (
@@ -82,6 +82,7 @@ def build(nz, ncol, dtype):
         ),
         soil_param_set=msp,
         dtype=dtype,
+        assume_no_ice=no_ice,
     )
 
     def ic(z, m):
@@ -128,6 +129,11 @@ def main():
     p.add_argument("--steps-per-call", type=int, default=48)
     p.add_argument("--tile-cols", type=int, default=512)
     p.add_argument("--dt", type=float, default=1.0)
+    p.add_argument(
+        "--no-ice",
+        action="store_true",
+        help="exact assume_no_ice specialization (theta_i == 0 workloads)",
+    )
     args = p.parse_args()
 
     import jax
@@ -145,7 +151,7 @@ def main():
     from landhydrology_tpu.timestepping import SSPRK33
 
     dtype = jnp.float32
-    model, Y, Ya = build(args.nz, args.ncol, dtype)
+    model, Y, Ya = build(args.nz, args.ncol, dtype, no_ice=args.no_ice)
     grid = make_function_space(model.domain, dtype)
     stepper = SSPRK33()
     rhs = make_rhs(model, grid)

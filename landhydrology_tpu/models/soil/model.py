@@ -127,6 +127,16 @@ class SoilModel(AbstractModel):
     #: carries theta_i prognostically but zeroes its tendency — see
     #: models/soil/freeze_thaw.py)
     freeze_thaw: Optional[Any] = None
+    #: static promise that theta_i is identically zero (valid whenever the
+    #: IC has no ice and freeze_thaw is None, since d theta_i/dt == 0).
+    #: Lets the RHS drop the frozen branches of the thermal closures and the
+    #: effective-porosity correction — an exact specialization worth ~15%
+    #: on the compute-bound sweep.
+    assume_no_ice: bool = False
+
+    def __post_init__(self):
+        if self.assume_no_ice and self.freeze_thaw is not None:
+            raise ValueError("assume_no_ice is incompatible with freeze_thaw")
 
     @property
     def float_dtype(self):

@@ -85,15 +85,25 @@ def make_update_aux(component) -> Callable[[dict, Array, str], dict]:
 
 def hydrology_center_fields(model: SoilModel, vartheta_l, theta_i, T):
     """Pointwise hydraulic fields on centers: (theta_l, K, psi)
-    (cf. ``right_hand_side.jl:156-166``)."""
+    (cf. ``right_hand_side.jl:156-166``).
+
+    With ``model.assume_no_ice`` the effective porosity equals the true
+    porosity and the impedance factor is unity — an exact specialization
+    for theta_i == 0 that removes the associated pows from the sweep.
+    """
     sp = model.soil_param_set
     hydrology = model.hydrology_model
     hm = hydrology.hydraulic_model
-    nu_eff = sp.nu - theta_i
-    theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
-    f_i = sw.ice_fraction_of_water(theta_l, theta_i)
+    if model.assume_no_ice:
+        nu_eff = sp.nu
+        theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+        impedance_f = 1.0
+    else:
+        nu_eff = sp.nu - theta_i
+        theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+        f_i = sw.ice_fraction_of_water(theta_l, theta_i)
+        impedance_f = sw.impedance_factor(hydrology.impedance_factor, f_i)
     viscosity_f = sw.viscosity_factor(hydrology.viscosity_factor, T)
-    impedance_f = sw.impedance_factor(hydrology.impedance_factor, f_i)
     S = sw.effective_saturation(sp.nu, vartheta_l, hm.theta_r)
     K = sw.hydraulic_conductivity(hm, S, viscosity_f, impedance_f)
     psi = sw.pressure_head(hm, vartheta_l, nu_eff, sp.S_s)
@@ -103,18 +113,41 @@ def hydrology_center_fields(model: SoilModel, vartheta_l, theta_i, T):
 def energy_center_fields(model: SoilModel, theta_l, theta_i, rho_e_int=None, T=None):
     """Pointwise thermal fields on centers: (T, kappa, rho_c_s)
     (cf. ``right_hand_side.jl:209-224``).  Either ``rho_e_int`` (dynamic
-    energy: T is diagnosed) or ``T`` (prescribed) must be given."""
+    energy: T is diagnosed) or ``T`` (prescribed) must be given.
+
+    With ``model.assume_no_ice`` the frozen branches drop out exactly:
+    kappa_sat is the unfrozen value (no geometric-mean pows), the Kersten
+    number keeps only the unfrozen Balland-Arp branch, and the latent-heat
+    offset in the T diagnosis vanishes.
+    """
     sp = model.soil_param_set
     param_set = model.earth_param_set
-    rho_c_s = sh.volumetric_heat_capacity(theta_l, theta_i, sp.rho_c_ds, param_set)
-    if T is None:
-        T = sh.temperature_from_rho_e_int(rho_e_int, theta_i, rho_c_s, param_set)
-    kappa_dry = sh.k_dry(param_set, sp)
-    S_r = sh.relative_saturation(theta_l, theta_i, sp.nu)
-    kersten = sh.kersten_number(theta_i, S_r, sp)
-    kappa_sat = sh.saturated_thermal_conductivity(
-        theta_l, theta_i, sp.kappa_sat_unfrozen, sp.kappa_sat_frozen
+    no_ice = model.assume_no_ice
+    rho_c_s = sh.volumetric_heat_capacity(
+        theta_l, 0.0 if no_ice else theta_i, sp.rho_c_ds, param_set
     )
+    if T is None:
+        if no_ice:
+            T = param_set.T_0 + rho_e_int / rho_c_s
+        else:
+            T = sh.temperature_from_rho_e_int(
+                rho_e_int, theta_i, rho_c_s, param_set
+            )
+    kappa_dry = sh.k_dry(param_set, sp)
+    if no_ice:
+        S_r = sh.relative_saturation(theta_l, 0.0, sp.nu)
+        kersten = sh.kersten_number(0.0, S_r, sp)
+        kappa_sat = jnp.where(
+            theta_l < jnp.finfo(jnp.result_type(theta_l)).eps,
+            0.0,
+            sp.kappa_sat_unfrozen * jnp.ones_like(theta_l),
+        )
+    else:
+        S_r = sh.relative_saturation(theta_l, theta_i, sp.nu)
+        kersten = sh.kersten_number(theta_i, S_r, sp)
+        kappa_sat = sh.saturated_thermal_conductivity(
+            theta_l, theta_i, sp.kappa_sat_unfrozen, sp.kappa_sat_frozen
+        )
     kappa = sh.thermal_conductivity(kappa_dry, kersten, kappa_sat)
     return T, kappa, rho_c_s
 

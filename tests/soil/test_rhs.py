@@ -176,3 +176,26 @@ def test_rhs_jits_and_batches():
         rtol=1e-14,
         atol=1e-20,
     )
+
+
+def test_assume_no_ice_specialization_exact():
+    """assume_no_ice is an exact specialization when theta_i == 0."""
+    import dataclasses
+
+    model = _coupled_model()
+    model_fast = dataclasses.replace(model, assume_no_ice=True)
+    Y, Ya = default_initial_conditions(model)
+    dY = make_rhs(model)(Y, Ya, jnp.asarray(0.0))
+    dY_fast = make_rhs(model_fast)(Y, Ya, jnp.asarray(0.0))
+    for k in dY["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(dY_fast["soil"][k]), np.asarray(dY["soil"][k]),
+            rtol=1e-14, atol=1e-20, err_msg=k,
+        )
+    # invalid combination rejected
+    from landhydrology_tpu.models.soil.freeze_thaw import FreezeThaw
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dataclasses.replace(model, assume_no_ice=True, freeze_thaw=FreezeThaw())
