@@ -365,10 +365,12 @@ def vertical_flux(
         shape = jnp.broadcast_shapes(*(jnp.shape(c) for c in candidates), kind.shape)
         candidates = [jnp.broadcast_to(c, shape) for c in candidates]
         kind = jnp.broadcast_to(kind, shape)
-        return jnp.select(
-            [kind == BCKind.FLUX, kind == BCKind.DIRICHLET],
-            candidates[:2],
-            candidates[2],
+        # nested elementwise selects (jnp.select lowers via an integer
+        # argmax reduction that Mosaic cannot lower)
+        return jnp.where(
+            kind == BCKind.FLUX,
+            candidates[0],
+            jnp.where(kind == BCKind.DIRICHLET, candidates[1], candidates[2]),
         )
 
     raise TypeError(f"Unsupported BC {bc!r} for component {component!r}")
