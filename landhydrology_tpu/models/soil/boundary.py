@@ -403,7 +403,13 @@ def boundary_fluxes(
 
         vartheta_l, theta_i, T = interior_values(X, face)
         f_rho_e_int, f_vartheta_l = compute_turbulent_surface_fluxes(
-            model.energy_model, model.hydrology_model, model, vartheta_l, theta_i, T
+            model.energy_model,
+            model.hydrology_model,
+            model,
+            vartheta_l,
+            theta_i,
+            T,
+            t,
         )
         return {"f_rho_e_int": f_rho_e_int, "f_vartheta_l": f_vartheta_l}
 

@@ -203,6 +203,7 @@ def compute_turbulent_surface_fluxes(
     vartheta_l: Array,
     theta_i: Array,
     T: Array,
+    t: Array = 0.0,
 ) -> tuple:
     """Surface (heat flux, water volume flux) from MOST given the soil
     surface state (cf. ``boundary_conditions.jl:555-620``).
@@ -210,6 +211,11 @@ def compute_turbulent_surface_fluxes(
     Requires dynamic energy + hydrology components (the reference raises a
     MethodError otherwise; ``test_prescribed_atmos_bc.jl:161-184``).
     Returns fluxes positive along +z (upward).
+
+    Atmospheric-state fields of the top BC may be constants, per-column
+    arrays, or callables of time (diurnal cycles / reanalysis forcing —
+    the extension the reference anticipates at
+    ``boundary_conditions.jl:113-114``); ``t`` is forwarded to them.
     """
     if not isinstance(energy, SoilEnergyModel) or not isinstance(
         hydrology, SoilHydrologyModel
@@ -219,7 +225,21 @@ def compute_turbulent_surface_fluxes(
             "SoilHydrologyModel components."
         )
 
+    import dataclasses as _dc
+
     atmos = model.boundary_conditions.top
+    if any(callable(getattr(atmos, f.name)) for f in _dc.fields(atmos)):
+        atmos = _dc.replace(
+            atmos,
+            **{
+                f.name: (
+                    getattr(atmos, f.name)(t)
+                    if callable(getattr(atmos, f.name))
+                    else getattr(atmos, f.name)
+                )
+                for f in _dc.fields(atmos)
+            },
+        )
     sp = model.soil_param_set
     param_set = model.earth_param_set
     hm = hydrology.hydraulic_model

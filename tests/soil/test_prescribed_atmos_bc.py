@@ -215,3 +215,34 @@ def test_most_batched_and_jittable(model):
     assert hf.shape == (128,)
     assert np.all(np.isfinite(np.asarray(hf)))
     assert np.ptp(np.asarray(hf)) == 0.0  # identical columns -> identical flux
+
+
+def test_time_varying_atmos_forcing(model):
+    """Atmos fields may be callables of time (diurnal cycle): at matching
+    instants the fluxes equal the constant-forcing result, and the flux
+    actually varies over the cycle."""
+    import dataclasses
+
+    atmos0 = model.boundary_conditions.top
+    diurnal = dataclasses.replace(
+        atmos0,
+        theta_atm=lambda t: T_SURF + 5.0 * jnp.sin(2 * jnp.pi * t / 86400.0),
+        u_atm=lambda t: U_ATM + 0.1 * jnp.sin(2 * jnp.pi * t / 86400.0),
+    )
+    model_t = dataclasses.replace(
+        model,
+        boundary_conditions=dataclasses.replace(
+            model.boundary_conditions, top=diurnal
+        ),
+    )
+
+    args = (model_t.energy_model, model_t.hydrology_model)
+    state = (jnp.asarray(NU - 1e-2), jnp.asarray(0.0), jnp.asarray(295.0))
+
+    hf0, ev0 = compute_turbulent_surface_fluxes(*args, model_t, *state, t=0.0)
+    hf_ref, ev_ref = compute_turbulent_surface_fluxes(*args, model, *state)
+    np.testing.assert_array_equal(np.asarray(hf0), np.asarray(hf_ref))
+    np.testing.assert_array_equal(np.asarray(ev0), np.asarray(ev_ref))
+
+    hf6, _ = compute_turbulent_surface_fluxes(*args, model_t, *state, t=21600.0)
+    assert float(jnp.abs(hf6 - hf0)) > 1.0  # warmer air at +6h changes flux
