@@ -87,6 +87,34 @@ def cp_m(param_set: EarthParameterSet, q_tot: Array) -> Array:
 # --------------------------------------------------------------------------
 
 
+def arctan_kernel_safe(x: Array) -> Array:
+    """arctan via half-angle argument reduction + odd Taylor polynomial.
+
+    Mosaic (the Pallas TPU compiler) has no ``atan`` primitive; this
+    implementation uses only mul/add/sqrt and is accurate to ~1e-11 over
+    the stability-function range, so the MOST solve traces identically on
+    the XLA and fused-kernel paths (one definition everywhere)."""
+    s = jnp.sign(x)
+    r = jnp.abs(x)
+    # three half-angle reductions: atan(r) = 2 atan(r / (1 + sqrt(1 + r^2)))
+    for _ in range(3):
+        r = r / (1.0 + jnp.sqrt(1.0 + r * r))
+    r2 = r * r
+    poly = r * (
+        1.0
+        + r2
+        * (
+            -1.0 / 3.0
+            + r2
+            * (
+                1.0 / 5.0
+                + r2 * (-1.0 / 7.0 + r2 * (1.0 / 9.0 + r2 * (-1.0 / 11.0)))
+            )
+        )
+    )
+    return s * 8.0 * poly
+
+
 def psi_m(zeta: Array) -> Array:
     """Integrated momentum stability function (Businger 1971)."""
     zeta = jnp.clip(zeta, _ZETA_MIN, _ZETA_MAX)
@@ -94,7 +122,7 @@ def psi_m(zeta: Array) -> Array:
     x = (1.0 - 15.0 * zeta_un) ** 0.25
     unstable = (
         jnp.log((1.0 + x) ** 2 * (1.0 + x * x) / 8.0)
-        - 2.0 * jnp.arctan(x)
+        - 2.0 * arctan_kernel_safe(x)
         + jnp.pi / 2.0
     )
     stable = -_BUSINGER_A * jnp.maximum(zeta, 0.0)

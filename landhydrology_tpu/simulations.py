@@ -68,6 +68,7 @@ class Simulation:
         dt: float,
         tspan: tuple,
         saveat: Optional[float] = None,
+        callbacks=None,
         engine: str = "xla",
         steps_per_call: int = 48,
         tile_cols: int = 512,
@@ -82,6 +83,11 @@ class Simulation:
         self.Ya = Ya_init
         self.t = self.tspan[0]
         self.saveat = None if saveat is None else float(saveat)
+        #: user callbacks ``fn(Y, t) -> Optional[Y]`` invoked host-side at
+        #: every save point (the reference's DiscreteCallback machinery,
+        #: ``simulation.jl:16-21,64-70``); a returned dict replaces the
+        #: state (discrete interventions — e.g. precipitation resets)
+        self.callbacks = list(callbacks) if callbacks else []
         self._rhs = make_rhs(model)
 
         dtype = model.float_dtype
@@ -180,6 +186,30 @@ class Simulation:
         self._run_cache[key] = fn
         return fn
 
+    def _run_segmented(self, Y0, t0, n_saves, save_every, rem):
+        """Host-segmented loop invoking callbacks at each save point."""
+        segment = self._make_run_fn(1, save_every, 0)
+        Y, t = Y0, jnp.asarray(t0, dtype=self._dtype)
+        ts_list, us_list = [], []
+        for _ in range(n_saves):
+            Y, t, _, _ = segment(Y, self.Ya, t)
+            for cb in self.callbacks:
+                replaced = cb(Y, float(t))
+                if replaced is not None:
+                    Y = replaced
+            ts_list.append(t)
+            us_list.append(Y)
+        if rem:
+            tail = self._make_run_fn(1, rem, 0)
+            Y, t, _, _ = tail(Y, self.Ya, t)
+        ts = jnp.stack(ts_list) if ts_list else jnp.zeros((0,), self._dtype)
+        us = (
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *us_list)
+            if us_list
+            else jax.tree_util.tree_map(lambda x: jnp.zeros((0, *x.shape), x.dtype), Y)
+        )
+        return Y, t, ts, us
+
     # -- reference step!/run! analogues (simulation.jl:79-87) --
 
     def step(self) -> None:
@@ -195,7 +225,11 @@ class Simulation:
 
         ``sink``: optional
         :class:`~landhydrology_tpu.runtime.TrajectorySink` — every saved
-        state is streamed to it (async on the native writer thread)."""
+        state is streamed to it (async on the native writer thread).
+
+        With ``callbacks`` set, the loop is segmented at save points and
+        each callback runs host-side on (Y, t); a returned dict replaces
+        the state."""
         Y0, t0 = self.Y, self.t
         n_steps = max(0, int(round((self.tspan[1] - t0) / self.dt)))
         if self.saveat is not None:
@@ -204,9 +238,14 @@ class Simulation:
             save_every = max(1, n_steps)
         n_saves, rem = divmod(n_steps, save_every)
         self._rem = rem
-        Yf, tf, ts, us = self._make_run_fn(n_saves, save_every, rem)(
-            Y0, self.Ya, t0
-        )
+        if self.callbacks:
+            Yf, tf, ts, us = self._run_segmented(
+                Y0, t0, n_saves, save_every, rem
+            )
+        else:
+            Yf, tf, ts, us = self._make_run_fn(n_saves, save_every, rem)(
+                Y0, self.Ya, t0
+            )
         self.Y = Yf
         self.t = float(tf)
         # prepend the initial state (DiffEq saves t0); append final if the

@@ -161,3 +161,39 @@ def test_simulation_pallas_engine_and_sink(tmp_path):
         back[-1][2]["soil/vartheta_l"],
         np.asarray(sol.state(-1)["soil"]["vartheta_l"]),
     )
+
+
+def test_simulation_callbacks():
+    """Host callbacks fire at save points (reference DiscreteCallback
+    parity, simulation.jl:16-21): observers see every save, and a
+    state-replacing callback (discrete precipitation pulse) takes effect."""
+    model, Y, Ya, _ = _sim(tf=40.0)
+    seen = []
+
+    def observer(Yc, t):
+        seen.append((t, float(jnp.sum(Yc["soil"]["vartheta_l"]))))
+
+    sim = Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=1.0, tspan=(0.0, 40.0),
+        saveat=10.0, callbacks=[observer],
+    )
+    sol = sim.run()
+    assert [t for t, _ in seen] == [10.0, 20.0, 30.0, 40.0]
+    assert len(sol) == 5  # t0 + 4 saves
+
+    # state-replacing callback: add surface water at t=20
+    def pulse(Yc, t):
+        if t == 20.0:
+            top = Yc["soil"]["vartheta_l"].shape[0] - 1
+            v = Yc["soil"]["vartheta_l"].at[top].add(0.05)
+            return {"soil": dict(Yc["soil"], vartheta_l=v)}
+        return None
+
+    sim2 = Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=1.0, tspan=(0.0, 40.0),
+        saveat=10.0, callbacks=[pulse],
+    )
+    sim2.run()
+    m_no_pulse = float(jnp.sum(sim.Y["soil"]["vartheta_l"]))
+    m_pulse = float(jnp.sum(sim2.Y["soil"]["vartheta_l"]))
+    np.testing.assert_allclose(m_pulse - m_no_pulse, 0.05, rtol=1e-10)
