@@ -84,7 +84,12 @@ class CheckpointManager:
     def steps(self):
         out = []
         for name in os.listdir(self.directory):
-            if name.startswith("step_"):
+            # only completed checkpoints count — an interrupted save leaves
+            # a .tmp.npz that must not be selected by latest()/restore()
+            if name.startswith("step_") and (
+                name.endswith(".npz") and not name.endswith(".tmp.npz")
+                or name.endswith(".orbax")
+            ):
                 out.append(int(name.split("_")[1].split(".")[0]))
         return sorted(set(out))
 

@@ -30,14 +30,16 @@ Array = Any
 def water_mass(Y: dict, dz, name: str = "soil", param_set=None) -> Array:
     """Column-integrated water (liquid + ice as liquid-equivalent), summed
     over all columns: sum(vartheta_l + (rho_i/rho_l) theta_i) dz."""
+    from landhydrology_tpu.constants import default_earth_param_set
+
+    if param_set is None:
+        param_set = default_earth_param_set
     soil = Y[name]
     total = soil["vartheta_l"]
-    if "theta_i" in soil and param_set is not None:
+    if "theta_i" in soil:
         total = total + (
             param_set.rho_cloud_ice / param_set.rho_cloud_liq
         ) * soil["theta_i"]
-    elif "theta_i" in soil:
-        total = total + soil["theta_i"]
     return jnp.sum(total) * dz
 
 

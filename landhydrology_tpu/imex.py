@@ -47,6 +47,50 @@ from landhydrology_tpu.timestepping import AbstractTimestepper
 Array = Any
 
 
+def _backward_euler_delta(
+    K: Array,
+    C: Array,
+    b: Array,
+    dt: Array,
+    grid: ColumnGrid,
+    diag_boost_bot: Array = 0.0,
+    diag_boost_top: Array = 0.0,
+) -> Array:
+    """Solve ``(I - dt A) delta = b`` for one frozen-coefficient diffusion
+    linearization — the shared tridiagonal assembly of the implicit
+    steppers.
+
+    ``A`` is the vertical diffusion Jacobian with center coefficient ``K``
+    (interpolated to faces, zero at the boundary faces) and pointwise state
+    derivative ``C`` (``d psi/d vartheta`` for water, ``1/rho_c_s`` for
+    heat):
+
+        (A d)_i = [K_{i+1/2}(C_{i+1} d_{i+1} - C_i d_i)
+                   - K_{i-1/2}(C_i d_i - C_{i-1} d_{i-1})] / dz^2
+
+    ``diag_boost_*`` add the (negative) Dirichlet boundary-face diagonal
+    terms ``-K_face C_i / (dz_half dz)``.
+    """
+    dz = grid.dz
+    Kf = interp_c2f_interior(K)  # (nz-1, *batch) interior faces
+    zeros = jnp.zeros_like(K[:1])
+    K_minus = jnp.concatenate([zeros, Kf], axis=0)  # face below cell i
+    K_plus = jnp.concatenate([Kf, zeros], axis=0)  # face above cell i
+
+    inv_dz2 = 1.0 / (dz * dz)
+    diag_A = -(K_minus + K_plus) * C * inv_dz2
+    sub_A = K_minus * jnp.roll(C, 1, axis=0) * inv_dz2
+    sup_A = K_plus * jnp.roll(C, -1, axis=0) * inv_dz2
+    top = K.shape[0] - 1
+    diag_A = diag_A.at[0].add(diag_boost_bot)
+    diag_A = diag_A.at[top].add(diag_boost_top)
+
+    dl = -dt * sub_A
+    d = 1.0 - dt * diag_A
+    du = -dt * sup_A
+    return thomas_solve(dl, d, du, b)
+
+
 def _dpsi_dtheta(hm, vartheta_l: Array, nu_eff: Array, S_s: Array) -> Array:
     """Elementwise C = d psi / d vartheta_l via AD of the pressure-head
     closure (pointwise, so grad-of-sum gives the elementwise derivative)."""
@@ -99,7 +143,19 @@ class BackwardEulerRichards(AbstractTimestepper):
             theta_l = sw.volumetric_liquid_fraction(v_m, nu_eff)
             f_i = sw.ice_fraction_of_water(theta_l, theta_i)
             if isinstance(hydrology.viscosity_factor, sw.TemperatureDependentViscosity):
-                T = jnp.broadcast_to(Ya[name]["T"], v_m.shape)
+                if "rho_e_int" in Y[name]:
+                    # dynamic energy: diagnose T from the energy state
+                    from landhydrology_tpu.models.soil import heat as sh
+
+                    rho_c_s = sh.volumetric_heat_capacity(
+                        theta_l, theta_i, sp.rho_c_ds, model.earth_param_set
+                    )
+                    T = sh.temperature_from_rho_e_int(
+                        Y[name]["rho_e_int"], theta_i, rho_c_s,
+                        model.earth_param_set,
+                    )
+                else:
+                    T = jnp.broadcast_to(Ya[name]["T"], v_m.shape)
             else:
                 T = jnp.ones_like(v_m)  # NoEffect: value irrelevant
             visc = sw.viscosity_factor(hydrology.viscosity_factor, T)
@@ -107,16 +163,6 @@ class BackwardEulerRichards(AbstractTimestepper):
             S = sw.effective_saturation(sp.nu, v_m, hm.theta_r)
             K = sw.hydraulic_conductivity(hm, S, visc, imp)
             C = _dpsi_dtheta(hm, v_m, nu_eff, sp.S_s)
-
-            Kf = interp_c2f_interior(K)  # (nz-1, *batch) interior faces
-            zeros = jnp.zeros_like(K[:1])
-            K_minus = jnp.concatenate([zeros, Kf], axis=0)  # face below cell i
-            K_plus = jnp.concatenate([Kf, zeros], axis=0)  # face above cell i
-
-            inv_dz2 = 1.0 / (dz * dz)
-            diag_A = -(K_minus + K_plus) * C * inv_dz2
-            sub_A = K_minus * jnp.roll(C, 1, axis=0) * inv_dz2
-            sup_A = K_plus * jnp.roll(C, -1, axis=0) * inv_dz2
 
             # Dirichlet boundary faces contribute a stabilizing diagonal
             # term -K_face C_i / (dz_half * dz).  K_face is evaluated at the
@@ -136,20 +182,20 @@ class BackwardEulerRichards(AbstractTimestepper):
                     hm, S_f, jnp.ones_like(S_f), jnp.ones_like(S_f)
                 )
 
+            boost_bot = boost_top = 0.0
             bc_bot = getattr(bcs.bottom, "hydrology", None)
             bc_top = getattr(bcs.top, "hydrology", None)
             if isinstance(bc_bot, Dirichlet):
                 K_f = k_at_value(_value_at(bc_bot.state_value, t_new))
-                diag_A = diag_A.at[0].add(-K_f * C[0] / (dz_half * dz))
+                boost_bot = -K_f * C[0] / (dz_half * dz)
             if isinstance(bc_top, Dirichlet):
                 K_f = k_at_value(_value_at(bc_top.state_value, t_new))
-                diag_A = diag_A.at[nz_top].add(-K_f * C[nz_top] / (dz_half * dz))
+                boost_top = -K_f * C[nz_top] / (dz_half * dz)
 
-            dl = -dt * sub_A
-            d = 1.0 - dt * diag_A
-            du = -dt * sup_A
             b = v_n - v_m + dt * f
-            delta = thomas_solve(dl, d, du, b)
+            delta = _backward_euler_delta(
+                K, C, b, dt, grid, boost_bot, boost_top
+            )
             return v_m + delta, None
 
         v_new, _ = jax.lax.scan(iterate, v_n, None, length=self.iters)
@@ -189,18 +235,10 @@ class BackwardEulerSoil(AbstractTimestepper):
         if not isinstance(model.energy_model, SoilEnergyModel):
             raise TypeError("BackwardEulerSoil needs a dynamic energy model")
 
-        # 1) implicit water update (Newton tridiagonal)
+        # 1) implicit water update (Newton tridiagonal) on the full state —
+        # the Newton coefficients may need rho_e_int (T-dependent viscosity)
         water = BackwardEulerRichards(model=model, grid=grid, iters=self.iters)
-        # reuse only the water solve: run it on a state view without the
-        # explicit trailing update by temporarily dropping rho_e_int
-        Y_water = {name: {k: Y[name][k] for k in ("vartheta_l", "theta_i")}}
-
-        def rhs_water(Yw, Ya_, t_):
-            full = {name: dict(Y[name], **Yw[name])}
-            d = rhs(full, Ya_, t_)[name]
-            return {name: {k: d[k] for k in ("vartheta_l", "theta_i")}}
-
-        v_new = water.step(rhs_water, Y_water, Ya, t, dt)[name]["vartheta_l"]
+        v_new = water.step(rhs, Y, Ya, t, dt)[name]["vartheta_l"]
 
         # 2) implicit heat update with the new water field
         sp = model.soil_param_set
@@ -217,33 +255,24 @@ class BackwardEulerSoil(AbstractTimestepper):
                 model, theta_l, theta_i, rho_e_int=e_m
             )
             C = 1.0 / rho_c_s  # dT/d rho_e_int
-            Kf = interp_c2f_interior(kappa)
-            zeros = jnp.zeros_like(kappa[:1])
-            K_minus = jnp.concatenate([zeros, Kf], axis=0)
-            K_plus = jnp.concatenate([Kf, zeros], axis=0)
-            dz = grid.dz
-            inv_dz2 = 1.0 / (dz * dz)
-            diag_A = -(K_minus + K_plus) * C * inv_dz2
-            sub_A = K_minus * jnp.roll(C, 1, axis=0) * inv_dz2
-            sup_A = K_plus * jnp.roll(C, -1, axis=0) * inv_dz2
 
             from landhydrology_tpu.models.soil.boundary import Dirichlet
 
             bcs = model.boundary_conditions
+            dz = grid.dz
             dz_half = grid.dz_boundary
             top = e_m.shape[0] - 1
-            bc_bot = getattr(bcs.bottom, "energy", None)
-            bc_top = getattr(bcs.top, "energy", None)
-            if isinstance(bc_bot, Dirichlet):
-                diag_A = diag_A.at[0].add(-kappa[0] * C[0] / (dz_half * dz))
-            if isinstance(bc_top, Dirichlet):
-                diag_A = diag_A.at[top].add(-kappa[top] * C[top] / (dz_half * dz))
+            boost_bot = boost_top = 0.0
+            if isinstance(getattr(bcs.bottom, "energy", None), Dirichlet):
+                boost_bot = -kappa[0] * C[0] / (dz_half * dz)
+            if isinstance(getattr(bcs.top, "energy", None), Dirichlet):
+                boost_top = -kappa[top] * C[top] / (dz_half * dz)
 
-            dl = -dt * sub_A
-            d = 1.0 - dt * diag_A
-            du = -dt * sup_A
             b = e_n - e_m + dt * f
-            return e_m + thomas_solve(dl, d, du, b), None
+            delta = _backward_euler_delta(
+                kappa, C, b, dt, grid, boost_bot, boost_top
+            )
+            return e_m + delta, None
 
         e_new, _ = jax.lax.scan(iterate, e_n, None, length=self.iters)
         out = dict(Y[name], vartheta_l=v_new, rho_e_int=e_new)

@@ -197,19 +197,12 @@ def initialize_boundary_values(X: dict, face: str) -> dict:
 
 def set_boundary_values(X_cf: dict, bc: AbstractBC, component, t: Array) -> dict:
     """Overwrite the face entry of the pair for Dirichlet BCs
-    (cf. ``boundary_conditions.jl:241-288``); no-op otherwise."""
-    if isinstance(bc, Dirichlet):
-        v = _value_at(bc.state_value, t)
-        if isinstance(component, SoilEnergyModel):
-            X_cf = dict(X_cf, T=[X_cf["T"][0], jnp.broadcast_to(v, jnp.shape(X_cf["T"][0]))])
-        elif isinstance(component, SoilHydrologyModel):
-            X_cf = dict(
-                X_cf,
-                vartheta_l=[
-                    X_cf["vartheta_l"][0],
-                    jnp.broadcast_to(v, jnp.shape(X_cf["vartheta_l"][0])),
-                ],
-            )
+    (cf. ``boundary_conditions.jl:241-288``); no-op otherwise.  Thin wrapper
+    over :func:`_with_face_value` (the shared face-overwrite rule)."""
+    if isinstance(bc, Dirichlet) and isinstance(
+        component, (SoilEnergyModel, SoilHydrologyModel)
+    ):
+        return _with_face_value(X_cf, component, _value_at(bc.state_value, t))
     return X_cf
 
 

@@ -187,7 +187,11 @@ def surface_conditions(
         zeta_0m = z_0m * Linv
         zeta_0s = z_0s * Linv
         denom_m = log_m - psi_m(zeta) + psi_m(zeta_0m)
-        denom_s = log_s - psi_h(zeta) + psi_h(zeta_0s)
+        # scalar profile carries the turbulent Prandtl number:
+        # phi_h(0) = Pr_0 (Businger), so the integrated denominator is
+        # Pr_0 * (ln(z/z0) - psi_h(zeta) + psi_h(zeta_0)) with psi_h in its
+        # Pr-stripped form
+        denom_s = _PRANDTL_0 * (log_s - psi_h(zeta) + psi_h(zeta_0s))
         # keep denominators away from 0 (can cross in extreme instability)
         denom_m = jnp.maximum(denom_m, 1e-3)
         denom_s = jnp.maximum(denom_s, 1e-3)

@@ -261,18 +261,12 @@ class Simulation:
             )
         self.sol = Solution(ts=ts_full, us=us_full)
         if sink is not None:
-            import numpy as _np
+            from landhydrology_tpu.checkpoint import _flatten_with_paths
 
             for k in range(len(self.sol)):
-                state = self.sol.state(k)
-                flat = {
-                    "/".join(map(str, path)): _np.asarray(leaf)
-                    for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
-                    for path in [
-                        tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path)
-                    ]
-                }
-                sink.append(k, float(self.sol.ts[k]), flat)
+                sink.append(
+                    k, float(self.sol.ts[k]), _flatten_with_paths(self.sol.state(k))
+                )
             sink.flush()
         return self.sol
 

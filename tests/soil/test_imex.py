@@ -216,3 +216,57 @@ def test_backward_euler_soil_coupled():
     # conservation through both implicit solves
     assert abs(v_im.sum() - v_ex.sum()) / v_ex.sum() < 1e-10
     assert abs(e_im.sum() - e_ex.sum()) / abs(e_ex.sum()) < 1e-8
+
+
+def test_implicit_with_temperature_dependent_viscosity():
+    """Regression: BackwardEulerSoil with TemperatureDependentViscosity and
+    a dynamic energy model must diagnose T from rho_e_int (was KeyError)."""
+    from landhydrology_tpu import SoilEnergyModel
+    from landhydrology_tpu.constants import default_earth_param_set as ps
+    from landhydrology_tpu.imex import BackwardEulerSoil
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+    from landhydrology_tpu.models.soil.water import TemperatureDependentViscosity
+
+    model = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=12),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-5, theta_r=0.0),
+            viscosity_factor=TemperatureDependentViscosity(),
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(nu=0.4, rho_c_ds=1.3e6),
+    )
+
+    def ic(z, m):
+        theta = jnp.full_like(z, 0.25)
+        ti = jnp.zeros_like(z)
+        T = 285.0 + 3.0 * z
+        rcs = volumetric_heat_capacity(theta, ti, 1.3e6, ps)
+        return {
+            "vartheta_l": theta,
+            "theta_i": ti,
+            "rho_e_int": volumetric_internal_energy(ti, rcs, T, ps),
+        }
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+    grid = make_function_space(model.domain, jnp.float64)
+    sim = Simulation(
+        model,
+        BackwardEulerSoil(model=model, grid=grid, iters=2),
+        Y_init=Y,
+        Ya_init=Ya,
+        dt=300.0,
+        tspan=(0.0, 6000.0),
+    )
+    sim.run()
+    assert np.all(np.isfinite(np.asarray(sim.Y["soil"]["vartheta_l"])))
+    assert np.all(np.isfinite(np.asarray(sim.Y["soil"]["rho_e_int"])))
