@@ -155,3 +155,40 @@ def test_weak_scaling_shapes():
     Yf, _ = step(Ys, shard_state(Ya, mesh), jnp.asarray(0.0))
     assert Yf["soil"]["vartheta_l"].shape == (NZ, 64)
     assert len(Yf["soil"]["vartheta_l"].sharding.device_set) == 8
+
+
+def test_simulation_with_sharded_state():
+    """Simulation.run works transparently on mesh-sharded state (jit
+    propagates shardings through the scan) and matches the unsharded run."""
+    model = _model(None, batch=(64,))
+
+    def ic(z, m):
+        return {
+            "vartheta_l": jnp.broadcast_to(
+                jnp.linspace(0.15, 0.25, 64)[None, :], (NZ, 64)
+            ),
+            "theta_i": jnp.zeros((NZ, 64)),
+            "rho_e_int": jnp.full((NZ, 64), -1e6),
+        }
+
+    from landhydrology_tpu import Simulation, initialize_states
+    from landhydrology_tpu.timestepping import SSPRK33
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+    sim_ref = Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=5.0, tspan=(0.0, 100.0)
+    )
+    sim_ref.run()
+
+    mesh = make_column_mesh(axis_names=("columns",))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    sim_sh = Simulation(
+        model, SSPRK33(), Y_init=Ys, Ya_init=Yas, dt=5.0, tspan=(0.0, 100.0)
+    )
+    sim_sh.run()
+
+    out = sim_sh.Y["soil"]["vartheta_l"]
+    assert len(out.sharding.device_set) == 8  # stayed sharded through the scan
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(sim_ref.Y["soil"]["vartheta_l"]), rtol=1e-13
+    )
