@@ -63,6 +63,20 @@ def make_fused_column_run(
     """
     import numpy as np
 
+    if model.lateral_coupling is not None:
+        raise ValueError(
+            "the fused column kernel tiles the column axis, so cross-column "
+            "lateral coupling cannot run inside it — use the XLA path "
+            "(make_rhs / make_sharded_step), which lowers the lateral "
+            "stencil to collective permutes"
+        )
+    if len(model.domain.batch_shape) != 1:
+        raise ValueError(
+            "the fused column kernel expects a 1-D column batch (nz, ncol); "
+            f"got batch_shape={model.domain.batch_shape} — flatten the "
+            "column grid before calling"
+        )
+
     grid_obj = make_function_space(model.domain, model.float_dtype)
     nz = grid_obj.nz
     dtype = model.float_dtype

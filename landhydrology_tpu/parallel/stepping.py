@@ -84,6 +84,24 @@ def make_sharded_step(
         raise ValueError(f"unknown mode {mode!r}")
 
     # --- shard_map path ---
+    # the model config is closed over and therefore replicated per shard:
+    # per-column arrays (heterogeneous params, BatchedBC) would keep their
+    # GLOBAL length inside the per-shard program and misbroadcast — reject
+    # them here and point at the general path
+    leaves = jax.tree_util.tree_flatten(
+        (
+            model.soil_param_set,
+            getattr(model.hydrology_model, "hydraulic_model", None),
+            model.boundary_conditions,
+        )
+    )[0]
+    if any(
+        hasattr(l, "ndim") and not callable(l) and l.ndim >= 1 for l in leaves
+    ):
+        raise ValueError(
+            "mode='shard_map' supports column-homogeneous (scalar) model "
+            "configs only; per-column parameter/BC arrays need mode='pjit'"
+        )
     lc = model.lateral_coupling
     model_local = dataclasses.replace(model, lateral_coupling=None)
     # per-shard grid: same vertical axis, local batch handled by broadcasting

@@ -192,3 +192,21 @@ def test_simulation_with_sharded_state():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(sim_ref.Y["soil"]["vartheta_l"]), rtol=1e-13
     )
+
+
+def test_shard_map_rejects_per_column_arrays():
+    import dataclasses
+
+    model = _model(None, batch=(64,))
+    model = dataclasses.replace(
+        model,
+        hydrology_model=dataclasses.replace(
+            model.hydrology_model,
+            hydraulic_model=vanGenuchten(
+                n=jnp.full((64,), 2.0), alpha=2.6, Ksat=1e-5, theta_r=0.0
+            ),
+        ),
+    )
+    mesh = make_column_mesh(axis_names=("columns",))
+    with pytest.raises(ValueError, match="shard_map"):
+        make_sharded_step(model, mesh, SSPRK33(), dt=1.0, mode="shard_map")

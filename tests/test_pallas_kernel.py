@@ -247,3 +247,29 @@ def test_fused_kernel_with_most_forcing():
             np.asarray(Yp["soil"][k]), np.asarray(Yr["soil"][k]),
             rtol=1e-12, err_msg=k,
         )
+
+
+def test_fused_kernel_rejects_unsupported_configs():
+    import dataclasses
+
+    from landhydrology_tpu.models.soil.model import LateralSurfaceCoupling
+
+    base = _model(VerticalFlux(0.0), FreeDrainage())
+    with pytest.raises(ValueError, match="lateral"):
+        make_fused_column_run(
+            dataclasses.replace(
+                base,
+                domain=dataclasses.replace(base.domain, batch_shape=(8, 8)),
+                lateral_coupling=LateralSurfaceCoupling(),
+            ),
+            SSPRK33(),
+            interpret=True,
+        )
+    with pytest.raises(ValueError, match="1-D column batch"):
+        make_fused_column_run(
+            dataclasses.replace(
+                base, domain=dataclasses.replace(base.domain, batch_shape=(8, 8))
+            ),
+            SSPRK33(),
+            interpret=True,
+        )
