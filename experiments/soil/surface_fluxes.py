@@ -30,6 +30,13 @@ def main():
     p.add_argument("--nz", type=int, default=10)
     p.add_argument("--saveat-hours", type=float, default=4.0)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument(
+        "--plot",
+        type=str,
+        default=None,
+        help="write drydown figures (PNG) to this path prefix — the "
+        "reference's Plots.jl output (surface_fluxes.jl:169-277)",
+    )
     p.add_argument("--platform", type=str, default=None, help="cpu to force CPU")
     args = p.parse_args()
 
@@ -190,6 +197,33 @@ def main():
             surface_evaporation=evap,
         )
         print(f"wrote {args.out}")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 2, figsize=(10, 7), constrained_layout=True)
+        axes[0, 0].plot(days, vartheta[:, -1])
+        axes[0, 0].set(xlabel="t (days)", ylabel="surface vartheta_l",
+                       title="Surface moisture drydown")
+        axes[0, 1].plot(days, evap * 86400 * 1000)
+        axes[0, 1].set(xlabel="t (days)", ylabel="E (mm/day)",
+                       title="Evaporation")
+        axes[1, 0].plot(days, heat_flux)
+        axes[1, 0].set(xlabel="t (days)", ylabel="W/m^2",
+                       title="Surface heat flux")
+        zc = np.asarray(Ya["zc"]).ravel()
+        for frac in (0.0, 0.1, 0.3, 1.0):
+            k = min(len(days) - 1, int(frac * (len(days) - 1)))
+            axes[1, 1].plot(vartheta[k], zc, label=f"{days[k]:.0f} d")
+        axes[1, 1].set(xlabel="vartheta_l", ylabel="z (m)",
+                       title="Moisture profiles")
+        axes[1, 1].legend()
+        path = f"{args.plot}_drydown.png"
+        fig.savefig(path, dpi=120)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":
