@@ -88,8 +88,8 @@ def main():
         kappa_sat_frozen=ksat_frozen(ks, 0.45, 2.29),
     )
 
-    # mixed BCs: 1/3 rain flux, 1/3 Dirichlet ponding, 1/3 drying flux at
-    # the top; free drainage or zero flux at the bottom
+    # mixed BCs: ~half rain-flux columns, ~half Dirichlet-ponding columns
+    # at the top; free drainage or zero flux at the bottom
     kinds_top = jnp.asarray(rng.integers(0, 2, ncol), dtype=jnp.int32)  # FLUX/DIRICHLET
     rain = jnp.asarray(-10 ** rng.uniform(-8.0, -6.5, ncol), dtype=dtype)
     pond = 0.9 * nu

@@ -59,6 +59,7 @@ def main():
     )
     from landhydrology_tpu.models.soil.model import LateralSurfaceCoupling
     from landhydrology_tpu.parallel import make_column_mesh, shard_state
+    from landhydrology_tpu.parallel.mesh import near_square_factors
     from landhydrology_tpu.parallel.stepping import make_sharded_run
     from landhydrology_tpu.timestepping import SSPRK33
 
@@ -67,10 +68,7 @@ def main():
 
     def run_on(n_dev):
         devices = all_devices[:n_dev]
-        a = int(np.floor(np.sqrt(n_dev)))
-        while n_dev % a:
-            a -= 1
-        mesh_shape = (a, n_dev // a)
+        mesh_shape = near_square_factors(n_dev)
         nx = mesh_shape[0] * max(1, int(np.sqrt(args.cols_per_device)))
         ny = mesh_shape[1] * max(1, args.cols_per_device // max(
             1, int(np.sqrt(args.cols_per_device))

@@ -120,6 +120,24 @@ class BackwardEulerRichards(AbstractTimestepper):
         return self.iters
 
     def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
+        v_new = self.water_solve(rhs, Y, Ya, t, dt)
+        model = self.model
+        name = model.name
+        t_new = t + dt
+        out = dict(Y[name], vartheta_l=v_new)
+        # explicit update for any remaining prognostic variables
+        if "rho_e_int" in Y[name] or "theta_i" in Y[name]:
+            Ym = {name: dict(Y[name], vartheta_l=v_new)}
+            f_all = rhs(Ym, Ya, t_new)[name]
+            for k in Y[name]:
+                if k != "vartheta_l":
+                    out[k] = Y[name][k] + dt * f_all[k]
+        return {name: out}
+
+    def water_solve(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> Array:
+        """The implicit Newton update of ``vartheta_l`` alone (shared with
+        :class:`BackwardEulerSoil`, which advances the other variables
+        implicitly itself)."""
         model, grid = self.model, self.grid
         name = model.name
         hydrology = model.hydrology_model
@@ -199,16 +217,7 @@ class BackwardEulerRichards(AbstractTimestepper):
             return v_m + delta, None
 
         v_new, _ = jax.lax.scan(iterate, v_n, None, length=self.iters)
-
-        out = dict(Y[name], vartheta_l=v_new)
-        # explicit update for any remaining prognostic variables
-        if "rho_e_int" in Y[name] or "theta_i" in Y[name]:
-            Ym = {name: dict(Y[name], vartheta_l=v_new)}
-            f_all = rhs(Ym, Ya, t_new)[name]
-            for k in Y[name]:
-                if k != "vartheta_l":
-                    out[k] = Y[name][k] + dt * f_all[k]
-        return {name: out}
+        return v_new
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,9 +245,11 @@ class BackwardEulerSoil(AbstractTimestepper):
             raise TypeError("BackwardEulerSoil needs a dynamic energy model")
 
         # 1) implicit water update (Newton tridiagonal) on the full state —
-        # the Newton coefficients may need rho_e_int (T-dependent viscosity)
+        # the Newton coefficients may need rho_e_int (T-dependent viscosity);
+        # water_solve skips the explicit tail BackwardEulerRichards.step
+        # would add for the variables this stepper advances implicitly
         water = BackwardEulerRichards(model=model, grid=grid, iters=self.iters)
-        v_new = water.step(rhs, Y, Ya, t, dt)[name]["vartheta_l"]
+        v_new = water.water_solve(rhs, Y, Ya, t, dt)
 
         # 2) implicit heat update with the new water field
         sp = model.soil_param_set

@@ -10,11 +10,14 @@ functions of the nearest-center state, broadcast over all batch dims.  BC
 (Dirichlet states, prescribed fluxes, atmospheric forcing) may be scalars,
 per-column arrays, or callables of time.
 
-Sign convention: flux positive along +z (``boundary_conditions.jl:36-38``);
-Dirichlet/FreeDrainage-derived fluxes flip sign at the bottom face
-(``boundary_conditions.jl:396-398``).  The center-to-face distance at a
-boundary is the half cell ``dz/2`` (``boundary_conditions.jl:196-208``;
-noted in ``test/SoilModel/dirichlet_bc_as_flux.jl:474-475``).
+Sign convention: flux positive along +z (``boundary_conditions.jl:36-38``).
+For Dirichlet-derived gradient fluxes the state difference changes
+orientation at the bottom face while the gravitational contribution does
+not (see ``_dirichlet_hydrology_flux`` for the deliberate deviation from
+the reference's blanket negation); FreeDrainage is bottom-only and never
+negated.  The center-to-face distance at a boundary is the half cell
+``dz/2`` (``boundary_conditions.jl:196-208``; noted in
+``test/SoilModel/dirichlet_bc_as_flux.jl:474-475``).
 """
 
 from __future__ import annotations
@@ -236,8 +239,20 @@ def _free_drainage_flux(component, model: SoilModel, X_cf: dict) -> Array:
 def _dirichlet_hydrology_flux(
     component, model: SoilModel, X_cf: dict, dz: Array, face: str
 ) -> Array:
-    """flux = -K_face (psi_face - psi_center + dz) / dz, negated at the
-    bottom (cf. ``boundary_conditions.jl:371-401``)."""
+    """Dirichlet water flux from the one-sided head gradient at the face.
+
+    Top face (center below face): flux = -K_face (psi_f - psi_c + dz)/dz.
+    Bottom face (center above face): flux = -K_face (psi_c - psi_f + dz)/dz
+    — only the psi difference changes orientation; the gravitational +dz
+    contribution to dh/dz does not.
+
+    NOTE — deliberate deviation from the reference: ``boundary_conditions.jl
+    :396-398`` negates the whole top-face expression at the bottom, which
+    also flips the gravity term and injects a spurious upward flux of 2K
+    (violates hydrostatic equilibrium under a bottom water-table Dirichlet
+    BC; test_bottom_dirichlet_hydrostatic_equilibrium).  The reference never
+    exercises a bottom hydrology Dirichlet BC in its test suite, so the
+    latent sign bug was invisible there."""
     sp = model.soil_param_set
     hm = component.hydraulic_model
     theta_i_pair = X_cf["theta_i"]
@@ -260,8 +275,9 @@ def _dirichlet_hydrology_flux(
         lambda v, ne: sw.pressure_head(hm, v, ne, sp.S_s),
         [X_cf["vartheta_l"], nu_eff],
     )
-    flux = -K[1] * (psi[1] - psi[0] + dz) / dz
-    return -flux if face == "bottom" else flux
+    if face == "bottom":
+        return -K[1] * (psi[0] - psi[1] + dz) / dz
+    return -K[1] * (psi[1] - psi[0] + dz) / dz
 
 
 def _dirichlet_energy_flux(
@@ -351,8 +367,19 @@ def vertical_flux(
             )
             candidates.append(_free_drainage_flux(component, model, X_cf))
         elif isinstance(component, SoilEnergyModel):
+            # free drainage has no energy analogue: reject it eagerly when
+            # the kind codes are concrete (config arrays); traced kinds
+            # (e.g. streamed into the fused kernel) are validated at
+            # construction instead
+            if not isinstance(kind, jax.core.Tracer) and bool(
+                jnp.any(kind == BCKind.FREE_DRAINAGE)
+            ):
+                raise ValueError(
+                    "BatchedBC kind FREE_DRAINAGE is not defined for the "
+                    "energy component (it is a hydrology-only BC)"
+                )
             candidates.append(_dirichlet_energy_flux(model, X_dir, dz, face))
-            candidates.append(jnp.zeros_like(candidates[0]))  # no FD for energy
+            candidates.append(jnp.zeros_like(candidates[0]))  # unused branch
         else:
             raise TypeError("BatchedBC requires a dynamic component model.")
         shape = jnp.broadcast_shapes(*(jnp.shape(c) for c in candidates), kind.shape)

@@ -13,8 +13,8 @@ Design (SURVEY.md §7 stage 8):
 - The kernel body **reuses the exact jnp physics** — it calls the same
   ``make_rhs(model)`` tendency function and stepper as the XLA path on the
   VMEM-resident block, so there is one source of truth for the numerics and
-  the kernel supports every BC/closure combination that traces (MOST
-  excepted: its fixed-point loop is deliberately left to the XLA path).
+  the kernel supports every BC/closure combination that traces — including
+  the MOST fixed point (hardware-validated and equivalence-tested).
 - ``input_output_aliases`` make the update in-place in HBM.
 
 The per-column state is tiny (3 nz floats), which makes the naive path
@@ -53,8 +53,8 @@ def make_fused_column_run(
 
     Requirements: at least one dynamic component (any of the four
     energy x hydrology combos with dynamics), ``(nz, ncol)`` state with
-    ``ncol`` a multiple of ``tile_cols``, non-MOST BCs.  Prescribed-field
-    profiles are recomputed inside the kernel from (z, t).
+    ``ncol`` a multiple of ``tile_cols``.  Prescribed-field profiles and
+    MOST atmospheric forcing are recomputed inside the kernel from (z, t).
     Soil/hydraulics parameters may be scalars (baked as literals) or
     per-column ``(ncol,)`` arrays (streamed as tiled kernel inputs —
     heterogeneous-soil batches run at full kernel speed).  Chain calls

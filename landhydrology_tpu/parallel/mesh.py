@@ -18,6 +18,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = Any
 
 
+def near_square_factors(n: int) -> Tuple[int, int]:
+    """Factor ``n`` into the most-square (a, b) with a * b == n, a <= b —
+    the default 2-D mesh/grid factorization shared by the drivers."""
+    a = int(np.floor(np.sqrt(n)))
+    while n % a:
+        a -= 1
+    return a, n // a
+
+
 def make_column_mesh(
     shape: Optional[Tuple[int, ...]] = None,
     axis_names: Sequence[str] = ("x", "y"),
@@ -35,11 +44,8 @@ def make_column_mesh(
         if len(axis_names) == 1:
             shape = (n,)
         else:
-            # near-square 2-D factorization
-            a = int(np.floor(np.sqrt(n)))
-            while n % a:
-                a -= 1
-            shape = (a, n // a) + (1,) * (len(axis_names) - 2)
+            a, b = near_square_factors(n)
+            shape = (a, b) + (1,) * (len(axis_names) - 2)
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} does not cover {n} devices")
     dev_array = np.asarray(devices).reshape(shape)

@@ -75,6 +75,18 @@ class Simulation:
     ):
         if Y_init is None:
             Y_init, Ya_init = model.default_initial_conditions()
+        elif Ya_init is None:
+            # derive the auxiliary state from the model (it depends only on
+            # the grid and prescribed profiles)
+            from landhydrology_tpu.domains import make_function_space
+            from landhydrology_tpu.models.soil.initial_conditions import (
+                initialize_auxiliary,
+            )
+
+            grid0 = make_function_space(model.domain, model.float_dtype)
+            Ya_init = initialize_auxiliary(
+                model, jnp.asarray(tspan[0], dtype=model.float_dtype), grid0.zc
+            )
         self.model = model
         self.stepper = stepper
         self.dt = float(dt)

@@ -136,3 +136,49 @@ def test_sand_infiltration_invariants():
     # consistent with a downward (negative) top flux.
     mass = np.array([np.sum(p) * dz for p in profiles])
     assert np.all(np.diff(mass) > 0)
+
+
+def test_bottom_dirichlet_hydrostatic_equilibrium():
+    """A column initialized on the hydrostatic profile with a bottom
+    Dirichlet vartheta_l pinned to that profile must stay in equilibrium
+    (near-zero tendency everywhere, including the bottom cell).
+
+    Regression for a latent sign bug inherited from the reference
+    (boundary_conditions.jl:396-398 negates the whole top-face Dirichlet
+    flux at the bottom, flipping the gravity term and injecting a spurious
+    upward flux of 2K; the reference never tests this path)."""
+    from landhydrology_tpu.models.soil.rhs import make_rhs
+    from landhydrology_tpu.models.soil.water import hydrostatic_profile
+
+    nu, S_s = 0.45, 1e-3
+    hm = vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-5, theta_r=0.0)
+    grid_n = 40
+    z_table = -0.5
+
+    def theta_at(z):
+        return hydrostatic_profile(hm, z, z_table, nu, S_s)
+
+    model = SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=grid_n),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(hydraulic_model=hm),
+        boundary_conditions=SoilColumnBC(
+            # bottom Dirichlet pinned to the equilibrium value at the face
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(
+                hydrology=Dirichlet(lambda t: theta_at(jnp.asarray(-2.0)))
+            ),
+        ),
+        soil_param_set=SoilParams(nu=nu, S_s=S_s),
+    )
+    Y, Ya = initialize_states(
+        model,
+        lambda z, m: {"vartheta_l": theta_at(z), "theta_i": jnp.zeros_like(z)},
+        0.0,
+    )
+    dY = make_rhs(model)(Y, Ya, jnp.asarray(0.0))
+    d = np.asarray(dY["soil"]["vartheta_l"])
+    # interior discretization error is tiny; the bottom cell must not see
+    # the spurious 2K/dz (= 4e-4 1/s here) gravity-flip flux
+    assert np.max(np.abs(d)) < 1e-6, d[:3]
+    assert abs(d[0]) < 1e-6
