@@ -138,6 +138,14 @@ def main():
 
     import jax
 
+    # persistent compilation cache: repeated bench invocations on the same
+    # machine skip the minutes-long TPU compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
         args.nz, args.ncol, args.steps = 16, 1024, 32

@@ -197,3 +197,12 @@ def test_simulation_callbacks():
     m_no_pulse = float(jnp.sum(sim.Y["soil"]["vartheta_l"]))
     m_pulse = float(jnp.sum(sim2.Y["soil"]["vartheta_l"]))
     np.testing.assert_allclose(m_pulse - m_no_pulse, 0.05, rtol=1e-10)
+
+
+def test_simulation_derives_ya_when_omitted():
+    """Y_init without Ya_init: the auxiliary state is derived from the
+    model instead of crashing mid-trace."""
+    model, Y, _, _ = _sim()
+    sim = Simulation(model, SSPRK33(), Y_init=Y, dt=1.0, tspan=(0.0, 5.0))
+    sim.run()
+    assert np.all(np.isfinite(np.asarray(sim.Y["soil"]["vartheta_l"])))
