@@ -1,0 +1,172 @@
+"""LandModel: multi-component composition (soil + surface water).
+
+The reference anticipates but never builds a multi-component land model
+(``initial_conditions.jl:14``: "eventually to be called with LandModel
+type"; every state is nested under a model *name* for exactly this reason).
+This module supplies it, with the first concrete second component — a
+ponded surface-water store with infiltration-capacity-limited exchange
+into the soil column, the classic land-surface mechanism (Hortonian
+ponding) the reference cannot represent:
+
+- ``SurfaceWaterModel``: prognostic ponded water height ``h_s`` (m) per
+  column, fed by a prescribed precipitation rate P(t) and drained into the
+  soil at the infiltration rate
+
+      I = min(P + h_s / tau_pond,  f_pot),
+
+  where ``f_pot`` is the potential (saturated-surface Dirichlet) downward
+  flux at the top face and ``tau_pond`` converts standing water into
+  supply.  When P exceeds capacity, the excess ponds; the pond keeps
+  infiltrating after rain stops.
+- ``LandModel``: composes the soil model and the surface store into one
+  state pytree ``{"soil": {...}, "surface": {"h_s": ...}}`` with a single
+  rhs; water is conserved across the component boundary identically
+  (d/dt [column water + h_s] = P - bottom outflow).
+
+Everything vectorizes over the column batch like the soil model itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from landhydrology_tpu.domains import ColumnGrid, make_function_space
+from landhydrology_tpu.models.base import AbstractModel
+from landhydrology_tpu.models.soil.boundary import (
+    SoilColumnBC,
+    SoilComponentBC,
+    VerticalFlux,
+    _dirichlet_hydrology_flux,
+    initialize_boundary_values,
+    _with_face_value,
+)
+from landhydrology_tpu.models.soil.model import SoilHydrologyModel, SoilModel
+from landhydrology_tpu.models.soil.rhs import make_rhs as make_soil_rhs
+
+Array = Any
+
+
+def _zero_precip(t):
+    return 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceWaterModel(AbstractModel):
+    """Ponded surface-water store (see module docstring).
+
+    ``precipitation(t)`` returns a rate (m/s), scalar or per-column;
+    ``tau_pond`` (s) is the pond-to-soil supply timescale.
+    """
+
+    precipitation: Callable[[Array], Array] = _zero_precip
+    tau_pond: Array = 60.0
+    name: str = "surface"
+
+
+@dataclasses.dataclass(frozen=True)
+class LandModel(AbstractModel):
+    """Soil column + surface-water store with conservative exchange."""
+
+    soil: SoilModel
+    surface: SurfaceWaterModel = dataclasses.field(
+        default_factory=SurfaceWaterModel
+    )
+    name: str = "land"
+
+    def __post_init__(self):
+        if not isinstance(self.soil.hydrology_model, SoilHydrologyModel):
+            raise TypeError(
+                "LandModel surface coupling requires a dynamic soil "
+                "hydrology model"
+            )
+
+    @property
+    def float_dtype(self):
+        return self.soil.float_dtype
+
+
+def potential_infiltration(soil: SoilModel, grid: ColumnGrid, X: dict, t) -> Array:
+    """Potential (ponded-surface) downward infiltration rate at the top
+    face: the magnitude of the Dirichlet-at-saturation flux — the soil's
+    own BC conversion machinery evaluated with the face pinned at
+    saturation (``vartheta_l = nu``)."""
+    X_cf = initialize_boundary_values(X, "top")
+    X_cf = _with_face_value(
+        X_cf, soil.hydrology_model, jnp.asarray(soil.soil_param_set.nu)
+    )
+    flux_up = _dirichlet_hydrology_flux(
+        soil.hydrology_model, soil, X_cf, grid.dz_boundary, "top"
+    )
+    # flux is positive along +z; ponded infiltration is downward
+    return jnp.maximum(-flux_up, 0.0)
+
+
+def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
+    """Composed tendency function over the land state
+    ``{"soil": {...}, "surface": {"h_s": ...}}``."""
+    soil = land.soil
+    if grid is None:
+        grid = make_function_space(soil.domain, soil.float_dtype)
+    name = soil.name
+
+    def rhs(Y: dict, Ya: dict, t: Array) -> dict:
+        h_s = Y[land.surface.name]["h_s"]
+        P = jnp.asarray(land.surface.precipitation(t))
+
+        vartheta_l = Y[name]["vartheta_l"]
+        theta_i = Y[name]["theta_i"]
+        # T is needed only by T-dependent closures at the face; use the
+        # prescribed/diagnosed field when present, else a neutral constant
+        if "T" in Ya.get(name, {}):
+            T = jnp.broadcast_to(Ya[name]["T"], vartheta_l.shape)
+        else:
+            T = jnp.full_like(vartheta_l, 288.0)
+        X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
+
+        f_pot = potential_infiltration(soil, grid, X, t)
+        supply = jnp.maximum(P, 0.0) + jnp.maximum(h_s, 0.0) / land.surface.tau_pond
+        infiltration = jnp.minimum(supply, f_pot)
+
+        # soil sees the infiltration as a downward (negative) top flux; the
+        # rhs closure is rebuilt per call with the coupled flux value —
+        # closure construction is trace-time-only work
+        bc = soil.boundary_conditions
+        soil_t = dataclasses.replace(
+            soil,
+            boundary_conditions=SoilColumnBC(
+                top=SoilComponentBC(
+                    hydrology=VerticalFlux(-infiltration),
+                    energy=getattr(bc.top, "energy", VerticalFlux(0.0)),
+                ),
+                bottom=bc.bottom,
+            ),
+        )
+        dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
+
+        dh_s = P - infiltration
+        return {
+            name: dY_soil[name],
+            land.surface.name: {"h_s": dh_s},
+        }
+
+    return rhs
+
+
+def initialize_states(land: LandModel, f_soil, t0, h_s0=0.0):
+    """(Y, Ya) for the composed model: soil ICs from ``f_soil`` plus the
+    initial pond height (scalar or per-column)."""
+    from landhydrology_tpu.models.soil.initial_conditions import (
+        initialize_states as soil_init,
+    )
+
+    Y, Ya = soil_init(land.soil, f_soil, t0)
+    batch = land.soil.domain.batch_shape
+    Y[land.surface.name] = {
+        "h_s": jnp.broadcast_to(
+            jnp.asarray(h_s0, dtype=land.float_dtype), batch
+        )
+    }
+    return Y, Ya

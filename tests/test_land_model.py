@@ -1,0 +1,149 @@
+"""LandModel (soil + ponded surface water) tests: Hortonian ponding,
+capacity-limited infiltration, and exact cross-component water
+conservation — the multi-component composition the reference anticipates
+but never builds (initial_conditions.jl:14)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landhydrology_tpu import (
+    Column,
+    PrescribedTemperatureModel,
+    Simulation,
+    SoilColumnBC,
+    SoilComponentBC,
+    SoilHydrologyModel,
+    SoilModel,
+    SoilParams,
+    VerticalFlux,
+)
+from landhydrology_tpu.models.land import (
+    LandModel,
+    SurfaceWaterModel,
+    initialize_states,
+    make_rhs,
+)
+from landhydrology_tpu.models.soil import vanGenuchten
+from landhydrology_tpu.timestepping import SSPRK33
+
+NZ = 30
+DZ = 1.5 / NZ
+
+
+def _land(precip, Ksat=1e-6, tau=60.0):
+    soil = SoilModel(
+        domain=Column(zlim=(-1.5, 0.0), nelements=NZ),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=Ksat, theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),  # replaced by coupling
+            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3),
+    )
+    return LandModel(soil=soil, surface=SurfaceWaterModel(precipitation=precip,
+                                                          tau_pond=tau))
+
+
+def _ic(z, m):
+    return {"vartheta_l": jnp.full_like(z, 0.15), "theta_i": jnp.zeros_like(z)}
+
+
+def _run(land, tf, dt=2.0):
+    Y, Ya = initialize_states(land, _ic, 0.0)
+    rhs = make_rhs(land)
+    stepper = SSPRK33()
+    import jax
+
+    @jax.jit
+    def run(Y, t0):
+        def body(carry, _):
+            Yc, t = carry
+            return (stepper.step(rhs, Yc, Ya, t, jnp.asarray(dt)), t + dt), None
+
+        (Yf, _), _ = jax.lax.scan(
+            body, (Y, t0), None, length=int(round(tf / dt))
+        )
+        return Yf
+
+    return Y, run(Y, jnp.asarray(0.0))
+
+
+def test_light_rain_infiltrates_without_ponding():
+    """P below infiltration capacity: no pond forms, soil gains all rain."""
+    P = 1e-7
+    land = _land(lambda t: P, Ksat=1e-5)
+    Y0, Yf = _run(land, tf=2000.0)
+    h_s = float(Yf["surface"]["h_s"])
+    assert h_s < 1e-9  # no ponding
+    gained = float(
+        (jnp.sum(Yf["soil"]["vartheta_l"]) - jnp.sum(Y0["soil"]["vartheta_l"])) * DZ
+    )
+    np.testing.assert_allclose(gained, P * 2000.0, rtol=1e-6)
+
+
+def test_heavy_rain_ponds_and_conserves():
+    """P above capacity: a pond forms (Hortonian ponding); total water
+    (soil + pond) equals the integrated rainfall exactly."""
+    P = 5e-6
+    land = _land(lambda t: P, Ksat=1e-6)
+    Y0, Yf = _run(land, tf=4000.0)
+    h_s = float(Yf["surface"]["h_s"])
+    assert h_s > 1e-4  # ponded
+    soil_gain = float(
+        (jnp.sum(Yf["soil"]["vartheta_l"]) - jnp.sum(Y0["soil"]["vartheta_l"])) * DZ
+    )
+    np.testing.assert_allclose(soil_gain + h_s, P * 4000.0, rtol=1e-9)
+
+
+def test_pond_drains_after_rain_stops():
+    """Rain for 4000 s then stop: the pond keeps infiltrating and shrinks;
+    conservation still exact."""
+    P = 5e-6
+
+    def precip(t):
+        return jnp.where(t < 4000.0, P, 0.0)
+
+    land = _land(precip, Ksat=1e-6)
+    Y0, Y_mid = _run(land, tf=4000.0)
+
+    # continue from t=2000 with the same rhs
+    import jax
+
+    rhs = make_rhs(land)
+    _, Ya = initialize_states(land, _ic, 0.0)
+    stepper = SSPRK33()
+
+    @jax.jit
+    def cont(Y, t0):
+        def body(carry, _):
+            Yc, t = carry
+            return (stepper.step(rhs, Yc, Ya, t, jnp.asarray(2.0)), t + 2.0), None
+
+        (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=2000)
+        return Yf
+
+    Y_end = cont(Y_mid, jnp.asarray(4000.0))
+    h_mid = float(Y_mid["surface"]["h_s"])
+    h_end = float(Y_end["surface"]["h_s"])
+    assert h_mid > 1e-4
+    assert h_end < h_mid  # pond draining
+    total_mid = float(jnp.sum(Y_mid["soil"]["vartheta_l"]) * DZ) + h_mid
+    total_end = float(jnp.sum(Y_end["soil"]["vartheta_l"]) * DZ) + h_end
+    np.testing.assert_allclose(total_end, total_mid, rtol=1e-9)
+
+
+def test_requires_dynamic_hydrology():
+    from landhydrology_tpu import PrescribedHydrologyModel
+
+    soil = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=8),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=PrescribedHydrologyModel(),
+        boundary_conditions=None,
+    )
+    with pytest.raises(TypeError):
+        LandModel(soil=soil)
