@@ -87,6 +87,10 @@ class LandModel(AbstractModel):
     def float_dtype(self):
         return self.soil.float_dtype
 
+    def make_rhs(self, grid=None):
+        """Composed tendency function (AbstractModel protocol)."""
+        return make_rhs(self, grid)
+
 
 def potential_infiltration(soil: SoilModel, grid: ColumnGrid, X: dict, t) -> Array:
     """Potential (ponded-surface) downward infiltration rate at the top

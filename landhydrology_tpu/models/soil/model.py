@@ -153,3 +153,10 @@ class SoilModel(AbstractModel):
         )
 
         return default_initial_conditions(self)
+
+    def make_rhs(self, grid=None):
+        """Tendency function for this model (the AbstractModel protocol the
+        Simulation driver dispatches on)."""
+        from landhydrology_tpu.models.soil.rhs import make_rhs
+
+        return make_rhs(self, grid)

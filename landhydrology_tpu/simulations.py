@@ -83,9 +83,15 @@ class Simulation:
                 initialize_auxiliary,
             )
 
-            grid0 = make_function_space(model.domain, model.float_dtype)
+            soil_like = getattr(model, "soil", model)
+            if not hasattr(soil_like, "domain"):
+                raise ValueError(
+                    "Ya_init is required for this model type (cannot derive "
+                    "auxiliary state without a column domain)"
+                )
+            grid0 = make_function_space(soil_like.domain, model.float_dtype)
             Ya_init = initialize_auxiliary(
-                model, jnp.asarray(tspan[0], dtype=model.float_dtype), grid0.zc
+                soil_like, jnp.asarray(tspan[0], dtype=model.float_dtype), grid0.zc
             )
         self.model = model
         self.stepper = stepper
@@ -100,7 +106,11 @@ class Simulation:
         #: ``simulation.jl:16-21,64-70``); a returned dict replaces the
         #: state (discrete interventions — e.g. precipitation resets)
         self.callbacks = list(callbacks) if callbacks else []
-        self._rhs = make_rhs(model)
+        # AbstractModel protocol: any model exposing make_rhs() plugs in
+        # (SoilModel, LandModel, ...); fall back to the soil builder
+        self._rhs = (
+            model.make_rhs() if hasattr(model, "make_rhs") else make_rhs(model)
+        )
 
         dtype = model.float_dtype
         rhs, stepper_, dt_ = self._rhs, self.stepper, self.dt
@@ -121,6 +131,14 @@ class Simulation:
         self._fused = None
         if engine == "pallas":
             import jax as _jax
+
+            from landhydrology_tpu.models.soil.model import SoilModel as _SoilModel
+
+            if not isinstance(model, _SoilModel):
+                raise ValueError(
+                    "engine='pallas' supports SoilModel only; composed "
+                    "models (LandModel) run on the XLA engine"
+                )
 
             from landhydrology_tpu.ops.pallas import make_fused_column_run
 

@@ -147,3 +147,23 @@ def test_requires_dynamic_hydrology():
     )
     with pytest.raises(TypeError):
         LandModel(soil=soil)
+
+
+def test_land_model_in_simulation():
+    """LandModel plugs into the Simulation driver via the make_rhs
+    protocol (saveat trajectory included)."""
+    P = 5e-6
+    land = _land(lambda t: P, Ksat=1e-6)
+    Y, Ya = initialize_states(land, _ic, 0.0)
+    sim = Simulation(
+        land, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=2.0, tspan=(0.0, 1000.0),
+        saveat=500.0,
+    )
+    sol = sim.run()
+    assert len(sol) == 3
+    h = float(sim.Y["surface"]["h_s"])
+    soil_gain = float(
+        (jnp.sum(sim.Y["soil"]["vartheta_l"]) - jnp.sum(Y["soil"]["vartheta_l"]))
+        * DZ
+    )
+    np.testing.assert_allclose(soil_gain + h, P * 1000.0, rtol=1e-9)
