@@ -20,6 +20,7 @@ def main():
     import landhydrology_tpu.diagnostics as diag
     import landhydrology_tpu.domains as dom
     import landhydrology_tpu.imex as imex
+    import landhydrology_tpu.models.land as land
     import landhydrology_tpu.models.soil as soil
     import landhydrology_tpu.models.soil.freeze_thaw as ft
     import landhydrology_tpu.models.soil.heat as heat
@@ -41,6 +42,7 @@ def main():
         ("models.soil (water)", water),
         ("models.soil (heat)", heat),
         ("models.soil (model/BCs)", soil),
+        ("models.land", land),
         ("models.soil.surface_fluxes", sf),
         ("models.soil.freeze_thaw", ft),
         ("ops.stencil", st),
