@@ -48,6 +48,41 @@ def energy_total(Y: dict, dz, name: str = "soil") -> Array:
     return jnp.sum(Y[name]["rho_e_int"]) * dz
 
 
+def explicit_dt_limit(model, Y: dict, safety: float = 0.5) -> Array:
+    """Estimate the explicit (SSPRK) stable time step for the Richards
+    diffusion: ``dt <= safety * dz_min^2 / (2 max(K dpsi/dtheta))``.
+
+    The nonlinear diffusivity ``D = K dpsi/dtheta`` reaches ``K / S_s`` in
+    the saturated (compressibility) regime — 1000x the unsaturated value at
+    the default S_s — which silently destabilizes explicit runs that look
+    fine unsaturated.  Use this before choosing dt, or switch to the
+    implicit steppers in ``imex.py`` (unconditional).  The boundary
+    half-cell makes Dirichlet faces the binding constraint, hence the
+    ``dz/2`` in the denominator scale.
+    """
+    import jax
+
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.models.soil import water as sw
+
+    sp = model.soil_param_set
+    hm = model.hydrology_model.hydraulic_model
+    grid = make_function_space(model.domain, model.float_dtype)
+    v = Y[model.name]["vartheta_l"]
+    theta_i = Y[model.name].get("theta_i", jnp.zeros_like(v))
+    nu_eff = sp.nu - theta_i
+    S = sw.effective_saturation(sp.nu, v, hm.theta_r)
+    K = sw.hydraulic_conductivity(hm, S, 1.0, 1.0)
+
+    def total(vv):
+        return jnp.sum(sw.pressure_head(hm, vv, nu_eff, sp.S_s))
+
+    C = jax.grad(total)(v)
+    D_max = jnp.max(K * jnp.abs(C))
+    dz_min = grid.dz_boundary  # the Dirichlet half-cell binds first
+    return safety * dz_min * dz_min / (2.0 * jnp.maximum(D_max, 1e-30))
+
+
 def nan_guard(Y: dict, where: str = "state") -> dict:
     """Check every leaf is finite; raises (via host callback) naming the
     first offending leaf.  Identity on the value, jit-safe."""

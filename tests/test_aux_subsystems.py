@@ -206,3 +206,34 @@ def test_simulation_derives_ya_when_omitted():
     sim = Simulation(model, SSPRK33(), Y_init=Y, dt=1.0, tspan=(0.0, 5.0))
     sim.run()
     assert np.all(np.isfinite(np.asarray(sim.Y["soil"]["vartheta_l"])))
+
+
+def test_explicit_dt_limit_flags_saturated_stiffness():
+    """The CFL estimator must flag the saturated-compressibility regime
+    (D = K/S_s) that silently destabilizes explicit runs."""
+    from landhydrology_tpu.diagnostics import explicit_dt_limit
+    from landhydrology_tpu.models.soil.water import hydrostatic_profile
+    from landhydrology_tpu.models.soil import vanGenuchten as vG
+
+    hm = vG(n=2.0, alpha=2.6, Ksat=1e-5, theta_r=0.0)
+    model = SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=40),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(hydraulic_model=hm),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+        ),
+        soil_param_set=SoilParams(nu=0.45, S_s=1e-3),
+    )
+    z = jnp.linspace(-1.975, -0.025, 40)
+    # unsaturated state: permissive limit
+    Y_unsat = {"soil": {"vartheta_l": jnp.full((40,), 0.2),
+                        "theta_i": jnp.zeros((40,))}}
+    dt_unsat = float(explicit_dt_limit(model, Y_unsat))
+    # hydrostatic state with a saturated zone: ~1000x stiffer
+    Y_sat = {"soil": {"vartheta_l": hydrostatic_profile(hm, z, -0.5, 0.45, 1e-3),
+                      "theta_i": jnp.zeros((40,))}}
+    dt_sat = float(explicit_dt_limit(model, Y_sat))
+    assert dt_sat < dt_unsat / 50
+    assert dt_sat < 0.5  # the regime where dt=2 blew up in verification
