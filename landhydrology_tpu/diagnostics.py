@@ -48,22 +48,27 @@ def energy_total(Y: dict, dz, name: str = "soil") -> Array:
     return jnp.sum(Y[name]["rho_e_int"]) * dz
 
 
-def explicit_dt_limit(model, Y: dict, safety: float = 0.5) -> Array:
-    """Estimate the explicit (SSPRK) stable time step for the Richards
-    diffusion: ``dt <= safety * dz_min^2 / (2 max(K dpsi/dtheta))``.
+def explicit_dt_limit(model, Y: dict, safety: float = 1.0) -> Array:
+    """Estimate the explicit SSPRK-stable time step for the Richards
+    diffusion from the *face-coupled* stiffness
 
-    The nonlinear diffusivity ``D = K dpsi/dtheta`` reaches ``K / S_s`` in
-    the saturated (compressibility) regime — 1000x the unsaturated value at
-    the default S_s — which silently destabilizes explicit runs that look
-    fine unsaturated.  Use this before choosing dt, or switch to the
-    implicit steppers in ``imex.py`` (unconditional).  The boundary
-    half-cell makes Dirichlet faces the binding constraint, hence the
-    ``dz/2`` in the denominator scale.
+        lambda_i ~ (K_{i-1/2} + K_{i+1/2}) C_i / dz^2,
+        dt <= safety * 2.5 / max_i lambda_i
+
+    (2.5 ~ SSPRK33's real-axis stability extent).  The nonlinear
+    diffusivity ``K dpsi/dtheta`` reaches ``K / S_s`` in the saturated
+    (compressibility) regime — ~1000x the unsaturated value at the default
+    S_s — which silently destabilizes explicit runs that look fine while
+    unsaturated.  Use this before choosing dt, or switch to the implicit
+    steppers in ``imex.py`` (unconditionally stable).  The face coupling
+    matters: K and dpsi/dtheta peak at different moistures, so the
+    pointwise product badly overestimates the stiffness of wetting fronts.
     """
     import jax
 
     from landhydrology_tpu.domains import make_function_space
     from landhydrology_tpu.models.soil import water as sw
+    from landhydrology_tpu.ops.stencil import interp_c2f_interior
 
     sp = model.soil_param_set
     hm = model.hydrology_model.hydraulic_model
@@ -77,10 +82,13 @@ def explicit_dt_limit(model, Y: dict, safety: float = 0.5) -> Array:
     def total(vv):
         return jnp.sum(sw.pressure_head(hm, vv, nu_eff, sp.S_s))
 
-    C = jax.grad(total)(v)
-    D_max = jnp.max(K * jnp.abs(C))
-    dz_min = grid.dz_boundary  # the Dirichlet half-cell binds first
-    return safety * dz_min * dz_min / (2.0 * jnp.maximum(D_max, 1e-30))
+    C = jnp.abs(jax.grad(total)(v))
+    Kf = interp_c2f_interior(K)
+    zeros = jnp.zeros_like(K[:1])
+    K_minus = jnp.concatenate([zeros, Kf], axis=0)
+    K_plus = jnp.concatenate([Kf, zeros], axis=0)
+    lam = (K_minus + K_plus) * C / (grid.dz * grid.dz)
+    return safety * 2.5 / jnp.maximum(jnp.max(lam), 1e-30)
 
 
 def nan_guard(Y: dict, where: str = "state") -> dict:

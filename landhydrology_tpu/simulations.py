@@ -111,6 +111,7 @@ class Simulation:
         self._rhs = (
             model.make_rhs() if hasattr(model, "make_rhs") else make_rhs(model)
         )
+        self._warn_if_cfl_unstable(model)
 
         dtype = model.float_dtype
         rhs, stepper_, dt_ = self._rhs, self.stepper, self.dt
@@ -150,6 +151,43 @@ class Simulation:
                 steps_per_call=spc,
                 tile_cols=self._tile_cols,
                 interpret=self._fused_interpret,
+            )
+
+    def _warn_if_cfl_unstable(self, model) -> None:
+        """Warn at construction when the explicit dt exceeds the estimated
+        Richards CFL limit (the saturated-compressibility regime makes this
+        failure mode silent and violent — see diagnostics.explicit_dt_limit).
+        Implicit steppers are unconditionally stable; skip them."""
+        import warnings
+
+        from landhydrology_tpu.models.soil.model import (
+            SoilHydrologyModel,
+            SoilModel as _SoilModel,
+        )
+
+        if not isinstance(model, _SoilModel):
+            return
+        if not isinstance(model.hydrology_model, SoilHydrologyModel):
+            return
+        if type(self.stepper).__module__.endswith("imex"):
+            return
+        try:
+            from landhydrology_tpu.diagnostics import explicit_dt_limit
+
+            limit = float(explicit_dt_limit(model, self.Y))
+        except Exception:
+            return  # traced/abstract state or exotic config: skip the check
+        # 4x margin: the estimator is a linearization at the initial state;
+        # warn only on clear violations (the silent-blow-up regime)
+        if self.dt > 4.0 * limit:
+            warnings.warn(
+                f"dt={self.dt:g} exceeds ~4x the estimated explicit Richards "
+                f"CFL limit ({limit:.3g}s) for this initial state "
+                "(saturated-zone diffusivity is K/S_s); expect instability — "
+                "reduce dt or use an implicit stepper from "
+                "landhydrology_tpu.imex",
+                RuntimeWarning,
+                stacklevel=3,
             )
 
     def _make_run_fn(self, n_saves: int, save_every: int, rem: int):

@@ -210,3 +210,17 @@ def test_shard_map_rejects_per_column_arrays():
     mesh = make_column_mesh(axis_names=("columns",))
     with pytest.raises(ValueError, match="shard_map"):
         make_sharded_step(model, mesh, SSPRK33(), dt=1.0, mode="shard_map")
+
+
+def test_column_sharding_helper():
+    """column_sharding builds the canonical (replicated-vertical, sharded-
+    batch) NamedSharding used for explicit device_put placement."""
+    from landhydrology_tpu.parallel import column_sharding
+
+    mesh = make_column_mesh(shape=(4, 2))
+    sh = column_sharding(mesh)
+    x = jax.device_put(jnp.zeros((NZ, NX, NY)), sh)
+    assert len(x.sharding.device_set) == 8
+    # vertical axis replicated: each shard holds all nz levels
+    shard_shape = x.sharding.shard_shape(x.shape)
+    assert shard_shape == (NZ, NX // 4, NY // 2)

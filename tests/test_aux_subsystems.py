@@ -235,5 +235,5 @@ def test_explicit_dt_limit_flags_saturated_stiffness():
     Y_sat = {"soil": {"vartheta_l": hydrostatic_profile(hm, z, -0.5, 0.45, 1e-3),
                       "theta_i": jnp.zeros((40,))}}
     dt_sat = float(explicit_dt_limit(model, Y_sat))
-    assert dt_sat < dt_unsat / 50
-    assert dt_sat < 0.5  # the regime where dt=2 blew up in verification
+    assert dt_sat < dt_unsat / 20
+    assert dt_sat < 2.0  # the regime where dt=2 blew up in verification
