@@ -10,9 +10,9 @@ Two complementary paths over a :class:`jax.sharding.Mesh`:
 - **shard_map path** (halo-overlap optimized): the whole RK step runs as
   one per-shard program; the lateral term uses the explicit edge-slab halo
   exchange of ``halo.py``, issued so it overlaps the vertical sweeps
-  (SURVEY.md §7 hard part 5).  Requires scalar (column-homogeneous) soil
-  parameters and BC configs, since the model config is closed over and
-  replicated per shard.
+  (SURVEY.md §7 hard part 5).  Per-column parameter/BC arrays are streamed
+  into the per-shard program as sharded arguments (the model is rebuilt
+  from local slices), so heterogeneous configs run here too.
 """
 
 from __future__ import annotations
@@ -63,7 +63,7 @@ def make_sharded_step(
 
     ``mode='pjit'``: sharding-constraint path (general).
     ``mode='shard_map'``: per-shard program with explicit halo exchange for
-    the lateral coupling (scalar param configs only).
+    the lateral coupling; per-column arrays are streamed as sharded args.
     """
     grid = make_function_space(model.domain, model.float_dtype)
     dtype = model.float_dtype
@@ -84,62 +84,114 @@ def make_sharded_step(
         raise ValueError(f"unknown mode {mode!r}")
 
     # --- shard_map path ---
-    # the model config is closed over and therefore replicated per shard:
-    # per-column arrays (heterogeneous params, BatchedBC) would keep their
-    # GLOBAL length inside the per-shard program and misbroadcast — reject
-    # them here and point at the general path
-    leaves = jax.tree_util.tree_flatten(
-        (
-            model.soil_param_set,
-            getattr(model.hydrology_model, "hydraulic_model", None),
-            model.boundary_conditions,
-        )
-    )[0]
-    if any(
-        hasattr(l, "ndim") and not callable(l) and l.ndim >= 1 for l in leaves
-    ):
-        raise ValueError(
-            "mode='shard_map' supports column-homogeneous (scalar) model "
-            "configs only; per-column parameter/BC arrays need mode='pjit'"
-        )
+    # the model config is closed over and replicated per shard; per-column
+    # arrays (heterogeneous params, BatchedBC codes/values) would keep their
+    # GLOBAL length inside the per-shard program, so — mirroring the fused
+    # kernel's streamed-leaf mechanism — every array-valued leaf of the
+    # parameter/BC pytrees becomes an explicit sharded argument and the
+    # model is rebuilt per shard from the local slices
     lc = model.lateral_coupling
-    model_local = dataclasses.replace(model, lateral_coupling=None)
-    # per-shard grid: same vertical axis, local batch handled by broadcasting
-    rhs_local = make_rhs(model_local, grid)
-    sp = model.soil_param_set
-    hm = model.hydrology_model.hydraulic_model if lc is not None else None
+    model_base = dataclasses.replace(model, lateral_coupling=None)
+    hydrology = model_base.hydrology_model
+    param_trees = (
+        model_base.soil_param_set,
+        getattr(hydrology, "hydraulic_model", None),
+        getattr(hydrology, "viscosity_factor", None),
+        getattr(hydrology, "impedance_factor", None),
+        model_base.boundary_conditions,
+    )
+    flat_params, params_treedef = jax.tree_util.tree_flatten(param_trees)
+
+    def _is_array(leaf):
+        return hasattr(leaf, "ndim") and not callable(leaf) and leaf.ndim >= 1
+
+    array_idx = [i for i, l in enumerate(flat_params) if _is_array(l)]
+    param_args = [jnp.asarray(flat_params[i]) for i in array_idx]
+
+    batch_shape = model.domain.batch_shape
+
+    def _param_spec(x):
+        # shard leaf dims that line up with full batch dims; replicate the
+        # rest (broadcast-ready singleton or non-divisible axes)
+        if x.ndim != len(batch_shape):
+            return P()
+        parts = []
+        for size, axis_name in zip(x.shape, mesh.axis_names):
+            parts.append(
+                axis_name
+                if size > 1 and size % mesh.shape[axis_name] == 0
+                else None
+            )
+        return P(*parts)
+
+    param_specs = tuple(_param_spec(x) for x in param_args)
+
+    def _model_for_shard(local_arrays):
+        leaves = list(flat_params)
+        for pos, val in zip(array_idx, local_arrays):
+            leaves[pos] = val
+        sp_, hm_, visc_, imp_, bcs_ = jax.tree_util.tree_unflatten(
+            params_treedef, leaves
+        )
+        out = dataclasses.replace(
+            model_base, soil_param_set=sp_, boundary_conditions=bcs_
+        )
+        if hm_ is not None:
+            out = dataclasses.replace(
+                out,
+                hydrology_model=dataclasses.replace(
+                    hydrology,
+                    hydraulic_model=hm_,
+                    viscosity_factor=visc_,
+                    impedance_factor=imp_,
+                ),
+            )
+        return out
+
     mesh_shape = dict(mesh.shape)
     ax = mesh.axis_names[:2]
+    top_idx = grid.nz - 1
 
-    def rhs(Y, Ya, t):
-        dY = rhs_local(Y, Ya, t)
-        if lc is not None:
-            vartheta_top = Y[name]["vartheta_l"][-1]
-            theta_i_top = Y[name]["theta_i"][-1]
-            nu_eff = sp.nu - theta_i_top
-            psi_top = sw.pressure_head(hm, vartheta_top, nu_eff, sp.S_s)
-            zc_top = jnp.reshape(grid.zc[-1], ())  # scalar top-center z
-            h_top = psi_top + zc_top
-            lap = _local_laplacian(h_top, lc.dx, mesh_shape, ax)
-            d = dY[name]["vartheta_l"].at[-1].add(lc.conductance / grid.dz * lap)
-            dY = {**dY, name: {**dY[name], "vartheta_l": d}}
-        return dY
+    def _step_local(Y, Ya, t, *local_arrays):
+        model_shard = _model_for_shard(list(local_arrays))
+        rhs_local = make_rhs(model_shard, grid)
+        sp = model_shard.soil_param_set
+        hm = (
+            model_shard.hydrology_model.hydraulic_model
+            if lc is not None
+            else None
+        )
 
-    def _step_local(Y, Ya, t):
+        def rhs(Y, Ya, t):
+            dY = rhs_local(Y, Ya, t)
+            if lc is not None:
+                vartheta_top = Y[name]["vartheta_l"][top_idx]
+                theta_i_top = Y[name]["theta_i"][top_idx]
+                nu_eff = sp.nu - theta_i_top
+                psi_top = sw.pressure_head(hm, vartheta_top, nu_eff, sp.S_s)
+                zc_top = jnp.reshape(grid.zc[top_idx], ())
+                h_top = psi_top + zc_top
+                lap = _local_laplacian(h_top, lc.dx, mesh_shape, ax)
+                d = dY[name]["vartheta_l"].at[top_idx].add(
+                    lc.conductance / grid.dz * lap
+                )
+                dY = {**dY, name: {**dY[name], "vartheta_l": d}}
+            return dY
+
         Y2 = stepper.step(rhs, Y, Ya, t, dt_a)
         return Y2, t + dt_a
 
     def specs_for(tree):
-        return _state_specs(tree, mesh, model.domain.batch_shape)
+        return _state_specs(tree, mesh, batch_shape)
 
     def step(Y, Ya, t):
         fn = shard_map(
             _step_local,
             mesh=mesh,
-            in_specs=(specs_for(Y), specs_for(Ya), P()),
+            in_specs=(specs_for(Y), specs_for(Ya), P(), *param_specs),
             out_specs=(specs_for(Y), P()),
         )
-        return fn(Y, Ya, t)
+        return fn(Y, Ya, t, *param_args)
 
     return jax.jit(step)
 

@@ -194,22 +194,41 @@ def test_simulation_with_sharded_state():
     )
 
 
-def test_shard_map_rejects_per_column_arrays():
+def test_shard_map_streams_per_column_arrays():
+    """Heterogeneous per-column parameters run through the shard_map path
+    (streamed as sharded args) and match the general pjit path."""
     import dataclasses
 
-    model = _model(None, batch=(64,))
+    rng = np.random.default_rng(5)
+    model = _model(LateralSurfaceCoupling(conductance=1e-4, dx=1.0))
     model = dataclasses.replace(
         model,
         hydrology_model=dataclasses.replace(
             model.hydrology_model,
             hydraulic_model=vanGenuchten(
-                n=jnp.full((64,), 2.0), alpha=2.6, Ksat=1e-5, theta_r=0.0
+                n=jnp.asarray(rng.uniform(1.5, 3.0, (NX, NY))),
+                alpha=2.6,
+                Ksat=jnp.asarray(rng.uniform(1e-6, 1e-5, (NX, NY))),
+                theta_r=0.0,
             ),
         ),
+        soil_param_set=dataclasses.replace(
+            model.soil_param_set, nu=jnp.asarray(rng.uniform(0.35, 0.45, (NX, NY)))
+        ),
     )
-    mesh = make_column_mesh(axis_names=("columns",))
-    with pytest.raises(ValueError, match="shard_map"):
-        make_sharded_step(model, mesh, SSPRK33(), dt=1.0, mode="shard_map")
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    mesh = make_column_mesh(shape=(4, 2))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+
+    step_p = make_sharded_step(model, mesh, SSPRK33(), dt=10.0, mode="pjit")
+    step_s = make_sharded_step(model, mesh, SSPRK33(), dt=10.0, mode="shard_map")
+    Yp, _ = step_p(Ys, Yas, jnp.asarray(0.0))
+    Ysm, _ = step_s(Ys, Yas, jnp.asarray(0.0))
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Ysm["soil"][k]), np.asarray(Yp["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
 
 
 def test_column_sharding_helper():
