@@ -54,15 +54,35 @@ def _zero_precip(t):
 
 
 @dataclasses.dataclass(frozen=True)
+class RunoffRouting:
+    """Lateral routing of ponded water between neighboring columns on the
+    2-D column grid (diffusive-wave approximation): only the pond excess
+    above ``h_detention`` routes, with
+
+        dh_s/dt += conductance * lap_xy(max(h_s - h_detention, 0)) / dx^2 .
+
+    Conservative on the periodic grid; under pjit the neighbor rolls lower
+    to collective permutes across shards (the config-5 surface coupling
+    with real overland-flow hydrology rather than head diffusion).
+    """
+
+    conductance: Array = 1e-2  # m^2/s effective diffusivity
+    dx: Array = 1.0  # lateral grid spacing (m)
+    h_detention: Array = 0.0  # m of pond retained (micro-topography)
+
+
+@dataclasses.dataclass(frozen=True)
 class SurfaceWaterModel(AbstractModel):
     """Ponded surface-water store (see module docstring).
 
     ``precipitation(t)`` returns a rate (m/s), scalar or per-column;
-    ``tau_pond`` (s) is the pond-to-soil supply timescale.
+    ``tau_pond`` (s) is the pond-to-soil supply timescale; ``runoff``
+    optionally routes pond excess laterally (requires a 2-D column grid).
     """
 
     precipitation: Callable[[Array], Array] = _zero_precip
     tau_pond: Array = 60.0
+    runoff: Optional[RunoffRouting] = None
     name: str = "surface"
 
 
@@ -151,6 +171,22 @@ def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
         dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
 
         dh_s = P - infiltration
+        ro = land.surface.runoff
+        if ro is not None:
+            if h_s.ndim < 2:
+                raise ValueError(
+                    "RunoffRouting requires a 2-D (nx, ny) column grid; "
+                    f"got pond field of shape {h_s.shape}"
+                )
+            h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
+            lap = (
+                jnp.roll(h_eff, 1, axis=0)
+                + jnp.roll(h_eff, -1, axis=0)
+                + jnp.roll(h_eff, 1, axis=1)
+                + jnp.roll(h_eff, -1, axis=1)
+                - 4.0 * h_eff
+            ) / (ro.dx * ro.dx)
+            dh_s = dh_s + ro.conductance * lap
         return {
             name: dY_soil[name],
             land.surface.name: {"h_s": dh_s},

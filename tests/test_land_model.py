@@ -167,3 +167,85 @@ def test_land_model_in_simulation():
         * DZ
     )
     np.testing.assert_allclose(soil_gain + h, P * 1000.0, rtol=1e-9)
+
+
+def test_runoff_routing_spreads_and_conserves():
+    """Localized heavy rain on a 2-D column grid: pond excess routes to
+    neighbors (diffusive wave), nothing routes below the detention height,
+    and total water is conserved exactly."""
+    import dataclasses
+
+    from landhydrology_tpu.models.land import RunoffRouting
+
+    NX = NY = 8
+    nz = 10
+    dz = 1.0 / nz
+
+    # rain only on the center 2x2 patch, above infiltration capacity
+    mask = np.zeros((NX, NY))
+    mask[3:5, 3:5] = 1.0
+    P = 2e-5
+
+    def precip(t):
+        return jnp.asarray(P * mask)
+
+    soil = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=nz, batch_shape=(NX, NY)),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=5e-7, theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3),
+    )
+    land = LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=precip,
+            tau_pond=120.0,
+            runoff=RunoffRouting(conductance=5e-3, dx=1.0, h_detention=1e-4),
+        ),
+    )
+
+    def ic(z, m):
+        return {
+            "vartheta_l": jnp.full((nz, NX, NY), 0.15),
+            "theta_i": jnp.zeros((nz, NX, NY)),
+        }
+
+    Y, Ya = initialize_states(land, ic, 0.0)
+    sim = Simulation(land, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=2.0,
+                     tspan=(0.0, 4000.0))
+    sim.run()
+
+    h = np.asarray(sim.Y["surface"]["h_s"])
+    assert np.all(np.isfinite(h))
+    # rained patch ponded; water spread to dry-rain neighbors
+    assert h[3, 3] > 1e-4
+    assert h[2, 3] > 1e-6  # neighbor received routed water
+    assert h[0, 0] < h[3, 3]  # far field below the source
+
+    # exact conservation: soil + pond == IC + integrated rainfall
+    soil_mass = float(jnp.sum(sim.Y["soil"]["vartheta_l"])) * dz
+    total = soil_mass + float(h.sum())
+    expected = 0.15 * nz * NX * NY * dz + P * mask.sum() * 4000.0
+    np.testing.assert_allclose(total, expected, rtol=1e-10)
+
+    # detention: without exceeding h_detention nothing routes
+    land2 = dataclasses.replace(
+        land,
+        surface=dataclasses.replace(
+            land.surface,
+            precipitation=lambda t: jnp.asarray(1e-9 * mask),
+            runoff=RunoffRouting(conductance=5e-3, dx=1.0, h_detention=1e-2),
+        ),
+    )
+    Y2, Ya2 = initialize_states(land2, ic, 0.0)
+    sim2 = Simulation(land2, SSPRK33(), Y_init=Y2, Ya_init=Ya2, dt=2.0,
+                      tspan=(0.0, 400.0))
+    sim2.run()
+    h2 = np.asarray(sim2.Y["surface"]["h_s"])
+    assert h2[0, 0] == 0.0  # nothing routed to the far field
