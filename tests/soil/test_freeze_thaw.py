@@ -161,3 +161,105 @@ def test_stefan_like_front():
     assert depths[-1] < -0.1
     ti_final = np.asarray(sol.state(-1)["soil"]["theta_i"])
     assert np.all(np.isfinite(ti_final))
+
+
+@pytest.mark.slow
+def test_stefan_front_matches_analytic():
+    """Quantitative Stefan-problem validation (north-star config 3): with a
+    sharp retention curve (near-step freezing-point depression) and no
+    water flow, the freezing front from a cold Dirichlet surface must track
+    the one-phase Stefan solution X(t) = 2 lambda sqrt(alpha_f t), with
+    lambda from lam*exp(lam^2)*erf(lam) = Ste/sqrt(pi)."""
+    import math
+
+    from landhydrology_tpu import (
+        Dirichlet as _Dirichlet,
+        SoilEnergyModel as _SE,
+    )
+    from landhydrology_tpu.models.soil.heat import (
+        k_dry,
+        ksat_frozen,
+        ksat_unfrozen,
+        saturated_thermal_conductivity,
+        thermal_conductivity,
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+
+    theta0, nu, rho_c_ds, ks = 0.3, 0.4, 1.2e6, 2.0
+    ksf = ksat_frozen(ks, nu, 2.29)
+    ksu = ksat_unfrozen(ks, nu, 0.57)
+    T_s, T0 = 263.16, ps.T_0
+    hm_sharp = vanGenuchten(n=3.0, alpha=10.0, Ksat=0.0, theta_r=0.0)
+    msp = SoilParams(
+        nu=nu, S_s=1e-3, nu_ss_quartz=0.6, rho_c_ds=rho_c_ds,
+        kappa_solid=ks, kappa_sat_unfrozen=ksu, kappa_sat_frozen=ksf,
+    )
+    model = SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=200),
+        energy_model=_SE(),
+        hydrology_model=SoilHydrologyModel(hydraulic_model=hm_sharp),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=_Dirichlet(lambda t: T_s)
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=msp,
+        freeze_thaw=FreezeThaw(tau=100.0),
+    )
+
+    def ic(z, m):
+        th = jnp.full_like(z, theta0)
+        ti = jnp.zeros_like(z)
+        rcs = volumetric_heat_capacity(th, ti, rho_c_ds, ps)
+        return {
+            "vartheta_l": th,
+            "theta_i": ti,
+            "rho_e_int": volumetric_internal_energy(
+                ti, rcs, jnp.full_like(z, T0), ps
+            ),
+        }
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+    sim = Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=10.0,
+        tspan=(0.0, 4.0 * 86400.0), saveat=86400.0,
+    )
+    sol = sim.run()
+    z = np.asarray(Ya["zc"]).ravel()
+
+    theta_i_final = (ps.rho_cloud_liq / ps.rho_cloud_ice) * theta0
+    C_f = float(volumetric_heat_capacity(0.0, theta_i_final, rho_c_ds, ps))
+    Ke = theta_i_final / nu  # kersten frozen branch, nu_ss_om = 0
+    kap_f = float(
+        thermal_conductivity(
+            k_dry(ps, msp), Ke,
+            saturated_thermal_conductivity(0.0, theta_i_final, ksu, ksf),
+        )
+    )
+    alpha_f = kap_f / C_f
+    Ste = C_f * (T0 - T_s) / (theta0 * ps.rho_cloud_liq * ps.LH_f0)
+    target = Ste / math.sqrt(math.pi)
+    lo, hi = 1e-4, 2.0
+    for _ in range(200):
+        lam = 0.5 * (lo + hi)
+        if lam * math.exp(lam * lam) * math.erf(lam) < target:
+            lo = lam
+        else:
+            hi = lam
+
+    fronts = []
+    for k in range(2, len(sol)):  # skip day 1 (front ~15 dz, still smeared)
+        t = float(sol.ts[k])
+        ti_prof = np.asarray(sol.state(k)["soil"]["theta_i"])
+        below = np.where(ti_prof / theta_i_final >= 0.5)[0]
+        front_sim = -z[below.min()]
+        front_ana = 2.0 * lam * math.sqrt(alpha_f * t)
+        fronts.append((t, front_sim, front_ana))
+        assert 0.9 < front_sim / front_ana < 1.05, (t, front_sim, front_ana)
+    # sqrt(t) scaling between day 2 and day 4 (within discretization)
+    r = fronts[-1][1] / fronts[0][1]
+    assert abs(r - math.sqrt(fronts[-1][0] / fronts[0][0])) < 0.12
