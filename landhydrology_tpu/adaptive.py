@@ -1,0 +1,123 @@
+"""Adaptive (error-controlled) time integration.
+
+The reference's OrdinaryDiffEq stack offers adaptive steppers but every
+reference test pins ``dt`` (``adaptive`` is never enabled; SURVEY.md §6
+notes dt spans 1e-4 s to 160 s across configs purely by hand tuning).  The
+TPU build automates that choice with step-doubling Richardson error control
+on top of any fixed-step stepper:
+
+- propose a step ``dt``: compute one full step ``Y1`` and two half steps
+  ``Y2``; the difference estimates the local error of the lower-order
+  result, and ``Y2`` (plus optional Richardson extrapolation) is accepted
+  when the weighted error norm is <= 1;
+- dt adapts with a PI controller (0.7/0.4 exponents for a 3rd-order
+  stepper), clamped growth/shrink;
+- everything runs inside one ``lax.while_loop`` — no data-dependent Python
+  control flow, so the whole adaptive integration jits and runs on-device
+  (rejected steps re-enter the loop with the shrunk dt).
+
+This pairs naturally with the stiffness structure of Richards runs: dt
+collapses while a sharp front or a saturated zone is active and recovers
+afterwards (see ``test_adaptive.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from landhydrology_tpu.timestepping import AbstractTimestepper, SSPRK33
+
+Array = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveConfig:
+    rtol: float = 1e-4
+    atol: float = 1e-8
+    dt_min: float = 1e-6
+    dt_max: float = 1e6
+    safety: float = 0.9
+    max_growth: float = 4.0
+    max_shrink: float = 0.1
+    #: PI controller exponents for an order-3 base stepper
+    k_p: float = 0.7 / 3.0
+    k_i: float = 0.4 / 3.0
+
+
+def run_adaptive(
+    rhs,
+    Y: dict,
+    Ya: dict,
+    t0,
+    tf,
+    dt0,
+    stepper: AbstractTimestepper = SSPRK33(),
+    config: AdaptiveConfig = AdaptiveConfig(),
+):
+    """Integrate ``rhs`` from ``t0`` to ``tf`` with step-doubling error
+    control.  Returns ``(Y_final, stats)`` with ``stats = {'n_accepted',
+    'n_rejected', 'dt_final'}``.  Fully jit-compatible (single while_loop).
+    """
+    dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(dt0))
+    t0 = jnp.asarray(t0, dtype=dtype)
+    tf = jnp.asarray(tf, dtype=dtype)
+    dt0 = jnp.asarray(dt0, dtype=dtype)
+
+    def err_norm(Y1, Y2, Yref):
+        def leaf(a, b, r):
+            scale = config.atol + config.rtol * jnp.maximum(
+                jnp.abs(r), jnp.abs(b)
+            )
+            return jnp.max(jnp.abs(a - b) / scale)
+
+        leaves = jax.tree_util.tree_map(leaf, Y1, Y2, Yref)
+        return jax.tree_util.tree_reduce(jnp.maximum, leaves)
+
+    def cond(state):
+        Y, t, dt, err_prev, n_acc, n_rej = state
+        return t < tf - 1e-12 * jnp.maximum(jnp.abs(tf), 1.0)
+
+    def body(state):
+        Y, t, dt, err_prev, n_acc, n_rej = state
+        dt = jnp.minimum(dt, tf - t)
+
+        Y1 = stepper.step(rhs, Y, Ya, t, dt)  # one full step
+        Yh = stepper.step(rhs, Y, Ya, t, 0.5 * dt)  # two half steps
+        Y2 = stepper.step(rhs, Yh, Ya, t + 0.5 * dt, 0.5 * dt)
+
+        err = jnp.maximum(err_norm(Y1, Y2, Y), 1e-12)
+        accept = err <= 1.0
+
+        # PI controller on the error history
+        factor = config.safety * err ** (-config.k_p) * err_prev ** (config.k_i)
+        factor = jnp.clip(factor, config.max_shrink, config.max_growth)
+        dt_new = jnp.clip(dt * factor, config.dt_min, config.dt_max)
+
+        Y_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), Y2, Y
+        )
+        t_next = jnp.where(accept, t + dt, t)
+        err_next = jnp.where(accept, err, err_prev)
+        return (
+            Y_next,
+            t_next,
+            dt_new,
+            err_next,
+            n_acc + accept.astype(jnp.int32),
+            n_rej + (~accept).astype(jnp.int32),
+        )
+
+    state0 = (
+        Y,
+        t0,
+        dt0,
+        jnp.asarray(1.0, dtype=dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    Yf, t_end, dt_f, _, n_acc, n_rej = jax.lax.while_loop(cond, body, state0)
+    return Yf, {"n_accepted": n_acc, "n_rejected": n_rej, "dt_final": dt_f}
