@@ -15,6 +15,7 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def main():
+    import landhydrology_tpu.adaptive as adaptive
     import landhydrology_tpu.checkpoint as ckpt
     import landhydrology_tpu.constants as con
     import landhydrology_tpu.diagnostics as diag
@@ -49,6 +50,7 @@ def main():
         ("ops.tridiag", td),
         ("ops.pallas.column_kernel", ck),
         ("timestepping", ts),
+        ("adaptive", adaptive),
         ("imex", imex),
         ("simulations", sims),
         ("parallel.mesh", pm),
