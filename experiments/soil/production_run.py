@@ -135,7 +135,10 @@ def main():
     seg_seconds = args.segment_minutes * 60.0
     tf = args.hours * 3600.0
     dz = 2.0 / nz
-    sink = TrajectorySink(os.path.join(args.workdir, "trajectory.bin"))
+    # append on resume so previously streamed records survive the restart
+    sink = TrajectorySink(
+        os.path.join(args.workdir, "trajectory.bin"), append=args.resume
+    )
     # fused kernel on TPU; interpret-mode Pallas on CPU would be slow
     engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 

@@ -43,9 +43,13 @@ class AdaptiveConfig:
     safety: float = 0.9
     max_growth: float = 4.0
     max_shrink: float = 0.1
-    #: PI controller exponents for an order-3 base stepper
-    k_p: float = 0.7 / 3.0
-    k_i: float = 0.4 / 3.0
+    #: PI (Gustafsson) exponents: the step-doubling estimate of an order-p
+    #: stepper is order p+1, hence /4 for SSPRK33
+    k_p: float = 0.7 / 4.0
+    k_i: float = 0.4 / 4.0
+    #: hard iteration cap — guarantees while_loop termination even under
+    #: persistent rejection (NaN error) or dt-below-time-ulp stagnation
+    max_steps: int = 10_000_000
 
 
 def run_adaptive(
@@ -60,7 +64,11 @@ def run_adaptive(
 ):
     """Integrate ``rhs`` from ``t0`` to ``tf`` with step-doubling error
     control.  Returns ``(Y_final, stats)`` with ``stats = {'n_accepted',
-    'n_rejected', 'dt_final'}``.  Fully jit-compatible (single while_loop).
+    'n_rejected', 'dt_final', 'converged'}``.  Fully jit-compatible
+    (single while_loop).  Termination is guaranteed: the loop stops at
+    ``config.max_steps`` iterations even if the error estimate is NaN
+    (persistent rejection) or dt underflows the time's ulp; check
+    ``stats['converged']`` (t reached tf) on return.
     """
     dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(dt0))
     t0 = jnp.asarray(t0, dtype=dtype)
@@ -78,11 +86,12 @@ def run_adaptive(
         return jax.tree_util.tree_reduce(jnp.maximum, leaves)
 
     def cond(state):
-        Y, t, dt, err_prev, n_acc, n_rej = state
-        return t < tf - 1e-12 * jnp.maximum(jnp.abs(tf), 1.0)
+        Y, t, dt, err_prev, n_acc, n_rej, iters = state
+        not_done = t < tf - 1e-12 * jnp.maximum(jnp.abs(tf), 1.0)
+        return jnp.logical_and(not_done, iters < config.max_steps)
 
     def body(state):
-        Y, t, dt, err_prev, n_acc, n_rej = state
+        Y, t, dt, err_prev, n_acc, n_rej, iters = state
         dt = jnp.minimum(dt, tf - t)
 
         Y1 = stepper.step(rhs, Y, Ya, t, dt)  # one full step
@@ -90,10 +99,15 @@ def run_adaptive(
         Y2 = stepper.step(rhs, Yh, Ya, t + 0.5 * dt, 0.5 * dt)
 
         err = jnp.maximum(err_norm(Y1, Y2, Y), 1e-12)
-        accept = err <= 1.0
+        # NaN error (unphysical state at this dt) must count as rejection,
+        # and at dt_min there is nothing left to shrink: force-accept to
+        # avoid spinning (the max_steps cap is the last-resort guard)
+        at_floor = dt <= config.dt_min * (1.0 + 1e-9)
+        accept = jnp.logical_or(err <= 1.0, at_floor)
 
-        # PI controller on the error history
+        # PI controller on the error history; NaN factor -> max shrink
         factor = config.safety * err ** (-config.k_p) * err_prev ** (config.k_i)
+        factor = jnp.where(jnp.isfinite(factor), factor, config.max_shrink)
         factor = jnp.clip(factor, config.max_shrink, config.max_growth)
         dt_new = jnp.clip(dt * factor, config.dt_min, config.dt_max)
 
@@ -101,7 +115,9 @@ def run_adaptive(
             lambda a, b: jnp.where(accept, a, b), Y2, Y
         )
         t_next = jnp.where(accept, t + dt, t)
-        err_next = jnp.where(accept, err, err_prev)
+        err_next = jnp.where(
+            accept, jnp.where(jnp.isfinite(err), err, 1.0), err_prev
+        )
         return (
             Y_next,
             t_next,
@@ -109,6 +125,7 @@ def run_adaptive(
             err_next,
             n_acc + accept.astype(jnp.int32),
             n_rej + (~accept).astype(jnp.int32),
+            iters + 1,
         )
 
     state0 = (
@@ -118,6 +135,12 @@ def run_adaptive(
         jnp.asarray(1.0, dtype=dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    Yf, t_end, dt_f, _, n_acc, n_rej = jax.lax.while_loop(cond, body, state0)
-    return Yf, {"n_accepted": n_acc, "n_rejected": n_rej, "dt_final": dt_f}
+    Yf, t_end, dt_f, _, n_acc, n_rej, _ = jax.lax.while_loop(cond, body, state0)
+    return Yf, {
+        "n_accepted": n_acc,
+        "n_rejected": n_rej,
+        "dt_final": dt_f,
+        "converged": t_end >= tf - 1e-12 * jnp.maximum(jnp.abs(tf), 1.0),
+    }

@@ -114,6 +114,7 @@ class BackwardEulerRichards(AbstractTimestepper):
     model: SoilModel
     grid: ColumnGrid
     iters: int = 2
+    unconditionally_stable = True
 
     @property
     def stages(self) -> int:
@@ -233,6 +234,7 @@ class BackwardEulerSoil(AbstractTimestepper):
     model: SoilModel
     grid: ColumnGrid
     iters: int = 2
+    unconditionally_stable = True
 
     def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
         from landhydrology_tpu.models.soil import heat as sh

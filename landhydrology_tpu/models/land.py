@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from landhydrology_tpu.domains import ColumnGrid, make_function_space
@@ -75,7 +76,9 @@ class RunoffRouting:
 class SurfaceWaterModel(AbstractModel):
     """Ponded surface-water store (see module docstring).
 
-    ``precipitation(t)`` returns a rate (m/s), scalar or per-column;
+    ``precipitation(t)`` returns a **non-negative rainfall rate** (m/s,
+    scalar or per-column) — NOT a signed vertical flux (rain is a positive
+    rate here, unlike the negative downward ``VerticalFlux`` convention);
     ``tau_pond`` (s) is the pond-to-soil supply timescale; ``runoff``
     optionally routes pond excess laterally (requires a 2-D column grid).
     """
@@ -101,6 +104,16 @@ class LandModel(AbstractModel):
             raise TypeError(
                 "LandModel surface coupling requires a dynamic soil "
                 "hydrology model"
+            )
+        bc = self.soil.boundary_conditions
+        if bc is not None and not hasattr(bc.top, "energy"):
+            # e.g. PrescribedAtmosForcing: the pond coupling replaces the
+            # top hydrology BC and would silently drop MOST evaporation and
+            # heat flux — refuse rather than run wrong physics
+            raise TypeError(
+                "LandModel replaces the soil's top hydrology BC with the "
+                "pond infiltration flux; a PrescribedAtmosForcing top face "
+                "cannot be combined with it yet — use a SoilComponentBC top"
             )
 
     @property
@@ -139,6 +152,16 @@ def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
     def rhs(Y: dict, Ya: dict, t: Array) -> dict:
         h_s = Y[land.surface.name]["h_s"]
         P = jnp.asarray(land.surface.precipitation(t))
+        # precipitation is a non-negative rate by contract (see
+        # SurfaceWaterModel); catch sign-convention mistakes eagerly when
+        # the value is concrete, clamp under trace
+        if not isinstance(P, jax.core.Tracer) and bool(jnp.any(P < 0)):
+            raise ValueError(
+                "SurfaceWaterModel.precipitation must return a non-negative "
+                "rainfall rate (m/s); got a negative value — do not use the "
+                "signed downward-flux convention here"
+            )
+        P = jnp.maximum(P, 0.0)
 
         vartheta_l = Y[name]["vartheta_l"]
         theta_i = Y[name]["theta_i"]

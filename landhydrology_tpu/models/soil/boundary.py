@@ -127,6 +127,20 @@ class SoilComponentBC(AbstractFaceBC):
     energy: AbstractBC = dataclasses.field(default_factory=NoBC)
     hydrology: AbstractBC = dataclasses.field(default_factory=NoBC)
 
+    def __post_init__(self):
+        # validate energy BatchedBC kinds at attachment time, where the
+        # codes are still concrete — inside the fused kernel / shard_map
+        # they become tracers and the runtime check cannot fire
+        e = self.energy
+        if isinstance(e, BatchedBC) and not isinstance(
+            e.kind, jax.core.Tracer
+        ):
+            if bool(jnp.any(jnp.asarray(e.kind) == BCKind.FREE_DRAINAGE)):
+                raise ValueError(
+                    "BatchedBC kind FREE_DRAINAGE is not defined for the "
+                    "energy component (it is a hydrology-only BC)"
+                )
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -368,9 +382,9 @@ def vertical_flux(
             candidates.append(_free_drainage_flux(component, model, X_cf))
         elif isinstance(component, SoilEnergyModel):
             # free drainage has no energy analogue: reject it eagerly when
-            # the kind codes are concrete (config arrays); traced kinds
-            # (e.g. streamed into the fused kernel) are validated at
-            # construction instead
+            # the kind codes are concrete; traced kinds (fused kernel /
+            # shard_map streams) were validated at SoilComponentBC
+            # construction, where they are still concrete
             if not isinstance(kind, jax.core.Tracer) and bool(
                 jnp.any(kind == BCKind.FREE_DRAINAGE)
             ):

@@ -44,7 +44,11 @@ def _ensure_lib():
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
+    needs_build = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(_SRC_PATH)
+        and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
+    )
+    if needs_build and os.path.exists(_SRC_PATH):
         try:
             os.makedirs(_LIB_DIR, exist_ok=True)
             subprocess.run(
@@ -62,7 +66,7 @@ def _ensure_lib():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.trajsink_open.restype = ctypes.c_void_p
-    lib.trajsink_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    lib.trajsink_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
     lib.trajsink_append.restype = ctypes.c_int
     lib.trajsink_append.argtypes = [
         ctypes.c_void_p,
@@ -96,7 +100,7 @@ class TrajectorySink:
     synchronous Python fallback writing the identical format.
     """
 
-    def __init__(self, path: str, max_pending: int = 16):
+    def __init__(self, path: str, max_pending: int = 16, append: bool = False):
         self.path = path
         self._handle = None
         self._file = None
@@ -104,11 +108,15 @@ class TrajectorySink:
         lib = _ensure_lib()
         if lib is not None:
             self._handle = lib.trajsink_open(
-                path.encode(), ctypes.c_uint64(max_pending)
+                path.encode(), ctypes.c_uint64(max_pending), int(append)
             )
         if self._handle is None:
-            self._file = open(path, "wb")
-            self._file.write(struct.pack("<Q", _MAGIC))
+            fresh = not (
+                append and os.path.exists(path) and os.path.getsize(path) > 0
+            )
+            self._file = open(path, "wb" if fresh else "ab")
+            if fresh:
+                self._file.write(struct.pack("<Q", _MAGIC))
 
     @property
     def is_native(self) -> bool:

@@ -169,7 +169,7 @@ class Simulation:
             return
         if not isinstance(model.hydrology_model, SoilHydrologyModel):
             return
-        if type(self.stepper).__module__.endswith("imex"):
+        if getattr(self.stepper, "unconditionally_stable", False):
             return
         try:
             from landhydrology_tpu.diagnostics import explicit_dt_limit

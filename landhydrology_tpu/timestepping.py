@@ -40,6 +40,9 @@ class AbstractTimestepper:
 
     #: number of rhs evaluations per step
     stages: int = 1
+    #: True for implicit steppers with no CFL restriction (suppresses the
+    #: Simulation construction-time CFL warning)
+    unconditionally_stable: bool = False
 
     def step(self, rhs: RHS, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
         raise NotImplementedError

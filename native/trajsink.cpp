@@ -47,14 +47,17 @@ struct Record {
 
 class TrajSink {
  public:
-  TrajSink(const char* path, size_t max_pending)
+  TrajSink(const char* path, size_t max_pending, bool append)
       : max_pending_(max_pending == 0 ? 16 : max_pending) {
-    file_ = std::fopen(path, "wb");
+    file_ = std::fopen(path, append ? "ab" : "wb");
     if (!file_) {
       ok_ = false;
       return;
     }
-    std::fwrite(&kMagic, sizeof(kMagic), 1, file_);
+    // "ab" positions at end-of-file; write the magic only for a fresh file
+    if (std::ftell(file_) == 0) {
+      std::fwrite(&kMagic, sizeof(kMagic), 1, file_);
+    }
     writer_ = std::thread([this] { this->Run(); });
   }
 
@@ -158,8 +161,8 @@ class TrajSink {
 
 extern "C" {
 
-void* trajsink_open(const char* path, uint64_t max_pending) {
-  auto* sink = new TrajSink(path, static_cast<size_t>(max_pending));
+void* trajsink_open(const char* path, uint64_t max_pending, int append) {
+  auto* sink = new TrajSink(path, static_cast<size_t>(max_pending), append != 0);
   if (!sink->ok()) {
     delete sink;
     return nullptr;

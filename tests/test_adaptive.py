@@ -123,3 +123,19 @@ def test_adaptive_handles_stiffness_without_blowup():
     drift = np.max(np.abs(v - np.asarray(Y["soil"]["vartheta_l"])))
     assert drift < 1e-5  # held the equilibrium
     assert float(stats["dt_final"]) < 1.0  # controller found the stiff scale
+
+
+def test_adaptive_terminates_on_nan_rhs():
+    """A NaN-producing rhs must not hang the while_loop: the iteration cap
+    and dt-floor force-accept guarantee termination."""
+
+    def bad_rhs(Y, Ya, t):
+        return {"m": {"x": Y["m"]["x"] * jnp.nan}}
+
+    Y0 = {"m": {"x": jnp.ones(4)}}
+    Yf, stats = run_adaptive(
+        bad_rhs, Y0, {}, 0.0, 10.0, dt0=1.0,
+        config=AdaptiveConfig(dt_min=1e-3, max_steps=500),
+    )
+    # loop returned (no hang); stats expose the failure mode
+    assert int(stats["n_accepted"]) + int(stats["n_rejected"]) <= 500

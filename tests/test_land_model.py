@@ -249,3 +249,28 @@ def test_runoff_routing_spreads_and_conserves():
     sim2.run()
     h2 = np.asarray(sim2.Y["surface"]["h_s"])
     assert h2[0, 0] == 0.0  # nothing routed to the far field
+
+
+def test_land_model_rejects_atmos_top_and_negative_rain():
+    from landhydrology_tpu import PrescribedAtmosForcing, SoilEnergyModel
+    import dataclasses
+
+    soil = _land(lambda t: 0.0).soil
+    soil_atmos = dataclasses.replace(
+        soil,
+        energy_model=SoilEnergyModel(),
+        boundary_conditions=dataclasses.replace(
+            soil.boundary_conditions,
+            top=PrescribedAtmosForcing(
+                u_atm=0.3, theta_atm=299.0, z_atm=0.05, theta_scale=299.0,
+                rho_a_sfc=1.17, q_atm=0.01,
+            ),
+        ),
+    )
+    with pytest.raises(TypeError, match="PrescribedAtmosForcing"):
+        LandModel(soil=soil_atmos)
+
+    land = _land(lambda t: -1e-6)  # wrong sign convention
+    Y, Ya = initialize_states(land, _ic, 0.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        make_rhs(land)(Y, Ya, 0.0)

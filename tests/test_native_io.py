@@ -77,3 +77,33 @@ def test_many_small_records_async(tmp_path):
     assert len(back) == 200
     assert all(back[k][0] == k for k in range(200))
     np.testing.assert_array_equal(back[137][2]["x"], np.full((4,), 137, np.float32))
+
+
+def test_append_mode_preserves_previous_records(tmp_path):
+    """Resume workflows: append=True keeps earlier records (both writers)."""
+    path = str(tmp_path / "traj_app.bin")
+    with TrajectorySink(path) as sink:
+        sink.append(0, 0.0, {"x": np.ones(3, np.float32)})
+    with TrajectorySink(path, append=True) as sink:
+        sink.append(1, 1.0, {"x": 2 * np.ones(3, np.float32)})
+    back = read_trajectory(path)
+    assert [r[0] for r in back] == [0, 1]
+    np.testing.assert_array_equal(back[1][2]["x"], 2 * np.ones(3, np.float32))
+
+    # fallback writer compatibility
+    import pytest as _pytest
+
+    path2 = str(tmp_path / "traj_app_py.bin")
+    import landhydrology_tpu.runtime.io as rio2
+
+    orig = (rio2._lib, rio2._lib_tried)
+    try:
+        rio2._lib, rio2._lib_tried = None, True
+        with rio2.TrajectorySink(path2) as sink:
+            sink.append(0, 0.0, {"x": np.ones(2, np.float64)})
+        with rio2.TrajectorySink(path2, append=True) as sink:
+            sink.append(1, 1.0, {"x": np.zeros(2, np.float64)})
+    finally:
+        rio2._lib, rio2._lib_tried = orig
+    back2 = read_trajectory(path2)
+    assert len(back2) == 2
