@@ -3,8 +3,8 @@ reference profile — the analogue of the reference's Bonan (2019) data test
 (``richards_equation.jl:98-190``, l2 < 0.1 over the final profile).  The
 reference fetches its comparison CSV from a remote artifact that is not
 vendored; here the committed golden is a dz- and dt-refined (n=600,
-dt=0.0125) f64 solution of the same configuration (generation script in
-tests/data/make_golden.py's sibling note; see docs/roadmap.md item 7)."""
+dt=0.0125) f64 solution of the same configuration (regenerate with
+tests/data/make_golden_infiltration.py)."""
 
 import os
 
