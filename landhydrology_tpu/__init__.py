@@ -19,7 +19,12 @@ Public API mirrors the reference's module surface (see SURVEY.md §1-2).
 """
 
 from landhydrology_tpu.constants import EarthParameterSet, default_earth_param_set
-from landhydrology_tpu.domains import Column, ColumnGrid, make_function_space
+from landhydrology_tpu.domains import (
+    Column,
+    ColumnGrid,
+    VariableDepthColumn,
+    make_function_space,
+)
 from landhydrology_tpu.models.soil import (
     BatchedBC,
     BCKind,
@@ -54,6 +59,7 @@ __all__ = [
     "default_earth_param_set",
     "Column",
     "ColumnGrid",
+    "VariableDepthColumn",
     "make_function_space",
     "SoilParams",
     "SoilModel",

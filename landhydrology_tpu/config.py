@@ -21,7 +21,7 @@ from typing import Any
 import numpy as np
 
 from landhydrology_tpu.constants import EarthParameterSet
-from landhydrology_tpu.domains import Column
+from landhydrology_tpu.domains import Column, VariableDepthColumn
 from landhydrology_tpu.models.soil.boundary import (
     BatchedBC,
     Dirichlet,
@@ -53,6 +53,7 @@ _REGISTRY = {
     cls.__name__: cls
     for cls in [
         Column,
+        VariableDepthColumn,
         EarthParameterSet,
         SoilParams,
         vanGenuchten,

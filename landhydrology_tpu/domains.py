@@ -66,6 +66,61 @@ class Column:
         return f"[{self.zlim[0]:0.1f}, {self.zlim[1]:0.1f}]"
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class VariableDepthColumn:
+    """A batch of 1-D columns with **per-column depths** — heterogeneous
+    terrain where bedrock (or the water table of interest) sits at a
+    different depth under each column (new TPU-build capability; the
+    reference's ``Column`` holds a single interval, ``domain.jl:12-19``).
+
+    Each column keeps ``nelements`` cells, so fields stay dense
+    ``(nz, *batch)`` arrays — no masked levels, no wasted lanes; the cell
+    spacing ``dz = (z_top - z_bottom) / nz`` simply varies per column and
+    broadcasts through every stencil/BC formula (the half-cell boundary
+    distance ``dz/2`` of ``boundary_conditions.jl:196-208`` becomes a
+    per-column array).  This is the TPU-idiomatic answer to variable depth:
+    uniform compute, heterogeneous geometry as data.
+
+    ``z_bottom`` / ``z_top`` are scalars or arrays broadcastable to
+    ``batch_shape`` with ``z_bottom < z_top`` everywhere.
+    """
+
+    z_bottom: Any  # array-like, broadcastable to batch_shape
+    nelements: int
+    batch_shape: Tuple[int, ...]
+    z_top: Any = 0.0
+    boundary_tags: Tuple[str, str] = ("bottom", "top")
+
+    def __post_init__(self):
+        zb = np.broadcast_to(np.asarray(self.z_bottom, dtype=np.float64), self.batch_shape)
+        zt = np.broadcast_to(np.asarray(self.z_top, dtype=np.float64), self.batch_shape)
+        if not np.all(zb < zt):
+            raise ValueError(
+                "VariableDepthColumn requires z_bottom < z_top for every "
+                "column"
+            )
+
+    @property
+    def ndims(self) -> int:
+        return 1
+
+    @property
+    def height(self) -> Any:
+        """Per-column physical height (array of ``batch_shape``)."""
+        return np.broadcast_to(
+            np.asarray(self.z_top, dtype=np.float64)
+            - np.asarray(self.z_bottom, dtype=np.float64),
+            self.batch_shape,
+        )
+
+    def __repr__(self) -> str:
+        h = self.height
+        return (
+            f"VariableDepthColumn(nz={self.nelements}, batch={self.batch_shape}, "
+            f"depth [{h.min():0.2f}, {h.max():0.2f}])"
+        )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ColumnGrid:
@@ -98,16 +153,35 @@ class ColumnGrid:
         return (self.nz, *self.batch_shape)
 
 
-def make_function_space(domain: Column, dtype=jnp.float64) -> ColumnGrid:
+def make_function_space(domain, dtype=jnp.float64) -> ColumnGrid:
     """Build the (center, face) coordinate grid for a column
     (cf. ``domain.jl:58-69``).
 
     Uses float64 numpy for the mesh arithmetic then casts, so Float32 grids
-    still place centers at exact midpoints.
+    still place centers at exact midpoints.  Dispatches on the domain type:
+    a :class:`Column` yields broadcast-singleton coordinates and a scalar
+    ``dz``; a :class:`VariableDepthColumn` yields full per-column coordinate
+    arrays and a ``(*batch)``-shaped ``dz``.
     """
     dtype = jnp.dtype(dtype) if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) else jnp.dtype(
         jnp.float32
     )
+    if isinstance(domain, VariableDepthColumn):
+        nz = int(domain.nelements)
+        batch = tuple(domain.batch_shape)
+        zb = np.broadcast_to(np.asarray(domain.z_bottom, dtype=np.float64), batch)
+        zt = np.broadcast_to(np.asarray(domain.z_top, dtype=np.float64), batch)
+        dz = (zt - zb) / nz  # (*batch)
+        k = np.arange(nz + 1, dtype=np.float64).reshape((nz + 1,) + (1,) * len(batch))
+        zf = zb[None] + k * dz[None]  # (nz+1, *batch)
+        zc = 0.5 * (zf[:-1] + zf[1:])  # (nz, *batch)
+        return ColumnGrid(
+            zc=jnp.asarray(zc, dtype=dtype),
+            zf=jnp.asarray(zf, dtype=dtype),
+            dz=jnp.asarray(dz, dtype=dtype),
+            nz=nz,
+            batch_shape=batch,
+        )
     zmin, zmax = float(domain.zlim[0]), float(domain.zlim[1])
     nz = int(domain.nelements)
     dz = (zmax - zmin) / nz

@@ -80,14 +80,29 @@ def make_fused_column_run(
     grid_obj = make_function_space(model.domain, model.float_dtype)
     nz = grid_obj.nz
     dtype = model.float_dtype
+    # Variable-depth grids (VariableDepthColumn) carry a per-column dz and a
+    # full (nz, ncol) zc; both are streamed as tiled kernel inputs like the
+    # heterogeneous soil parameters.  Uniform grids bake dz/zc as literals.
+    variable_dz = jnp.ndim(grid_obj.dz) > 0
     # Pallas kernels cannot capture device-array constants: give the rhs a
     # grid whose scalars are Python literals (baked into the kernel).
-    grid_lit = dataclasses.replace(
-        grid_obj,
-        dz=float(grid_obj.dz),
-        zc=np.asarray(grid_obj.zc),
-        zf=np.asarray(grid_obj.zf),
-    )
+    if variable_dz:
+        # dz placeholder is replaced per tile inside the kernel; the rhs
+        # never reads grid.zc/zf (centers come from Ya['zc']), so zero stubs
+        # keep the literal grid free of per-column constants.
+        grid_lit = dataclasses.replace(
+            grid_obj,
+            dz=0.0,
+            zc=np.zeros((nz,) + (1,) * len(grid_obj.batch_shape)),
+            zf=np.zeros((nz + 1,) + (1,) * len(grid_obj.batch_shape)),
+        )
+    else:
+        grid_lit = dataclasses.replace(
+            grid_obj,
+            dz=float(grid_obj.dz),
+            zc=np.asarray(grid_obj.zc),
+            zf=np.asarray(grid_obj.zf),
+        )
     name = model.name
     dt_c = float(dt)
 
@@ -152,14 +167,22 @@ def make_fused_column_run(
     if n_state == 0:
         raise ValueError("fused kernel needs at least one dynamic component")
 
+    n_extra = 1 if variable_dz else 0  # streamed per-column dz
+
     def kernel(t0_ref, zc_ref, *refs):
         param_refs = refs[:n_params]
-        state_refs = refs[n_params : n_params + n_state]
-        out_refs = refs[n_params + n_state :]
+        extra_refs = refs[n_params : n_params + n_extra]
+        state_refs = refs[n_params + n_extra : n_params + n_extra + n_state]
+        out_refs = refs[n_params + n_extra + n_state :]
         # (1, tile) blocks -> (tile,): broadcasts against both (nz, tile)
         # center fields and (tile,) boundary-face slices
         model_tile = _model_for_tile([r[:][0] for r in param_refs])
-        rhs = make_rhs(model_tile, grid_lit)
+        grid_k = (
+            dataclasses.replace(grid_lit, dz=extra_refs[0][:][0])
+            if variable_dz
+            else grid_lit
+        )
+        rhs = make_rhs(model_tile, grid_k)
         Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
         # prescribed aux fields are recomputed from their (z, t) profiles by
         # the rhs's update_aux, entirely inside the kernel
@@ -180,7 +203,6 @@ def make_fused_column_run(
         if ncol % tile_cols:
             raise ValueError(f"ncol={ncol} not a multiple of tile_cols={tile_cols}")
         n_tiles = ncol // tile_cols
-        zc = jnp.broadcast_to(grid_obj.zc.reshape(nz, 1), (nz, 1)).astype(dtype)
         t0 = jnp.reshape(jnp.asarray(t0, dtype=dtype), (1,))
 
         col_spec = pl.BlockSpec(
@@ -189,20 +211,41 @@ def make_fused_column_run(
         param_spec = pl.BlockSpec(
             (1, tile_cols), lambda i: (0, i), memory_space=pltpu.VMEM
         )
+        if variable_dz:
+            # per-column coordinates/spacing travel with the column tiles
+            zc = jnp.broadcast_to(
+                jnp.asarray(grid_obj.zc, dtype=dtype), (nz, ncol)
+            )
+            zc_spec = col_spec
+            extra_inputs = [
+                jnp.broadcast_to(
+                    jnp.asarray(grid_obj.dz, dtype=dtype).reshape(1, -1),
+                    (1, ncol),
+                )
+            ]
+            extra_specs = [param_spec]
+        else:
+            zc = jnp.broadcast_to(grid_obj.zc.reshape(nz, 1), (nz, 1)).astype(dtype)
+            zc_spec = pl.BlockSpec(
+                (nz, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            extra_inputs = []
+            extra_specs = []
         for p in array_params:
             if p.shape[1] != ncol:
                 raise ValueError(
                     f"per-column parameter of length {p.shape[1]} does not "
                     f"match ncol={ncol}"
                 )
-        n_in = 2 + n_params  # t0, zc, params... precede the state
+        n_in = 2 + n_params + n_extra  # t0, zc, params, dz precede the state
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # t0
-                pl.BlockSpec((nz, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                zc_spec,
                 *([param_spec] * n_params),
+                *extra_specs,
                 *([col_spec] * n_state),
             ],
             out_specs=tuple([col_spec] * n_state),
@@ -211,7 +254,7 @@ def make_fused_column_run(
             ),
             input_output_aliases={n_in + j: j for j in range(n_state)},
             interpret=interpret,
-        )(t0, zc, *array_params, *states)
+        )(t0, zc, *array_params, *extra_inputs, *states)
         if n_state == 1:
             out = (out,) if not isinstance(out, (tuple, list)) else out
         return {name: {k: o for k, o in zip(state_vars, out)}}
