@@ -73,6 +73,59 @@ class RunoffRouting:
 
 
 @dataclasses.dataclass(frozen=True)
+class KinematicWaveRouting:
+    """Manning kinematic/diffusive-wave overland flow over real topography —
+    the roadmap refinement of :class:`RunoffRouting` (which diffuses pond
+    head with a constant conductance and no elevation field).
+
+    Per-face upwinded finite-volume fluxes on the periodic 2-D column grid:
+    between two neighboring cells the unit-width discharge is Manning's
+
+        q = sign(s) * sqrt(|s|) * h_up^(5/3) / manning_n        (m^2/s)
+
+    where ``s`` is the driving slope at the face and ``h_up`` the pond
+    depth (above ``h_detention``) of the **upwind** cell, so dry cells emit
+    nothing and the scheme is conservative by construction (face fluxes
+    telescope).  With ``water_surface_slope=True`` (diffusive-wave) the
+    slope is of the water surface ``elevation + h_s`` — ponds can fill
+    hollows and stop; with ``False`` (kinematic proper) it is the bed slope
+    alone.
+
+    ``elevation`` is the per-column terrain height (m), an ``(nx, ny)``
+    array (or scalar for flat terrain).  Neighbor access uses ``jnp.roll``
+    (periodic; lowers to collective permutes under pjit, like the soil
+    lateral coupling).  Explicit stability: the kinematic wave speed is
+    ``c = (5/3) h^(2/3) sqrt(|s|) / n``; keep ``dt < dx / max(c)``.
+    """
+
+    elevation: Array = 0.0  # terrain height (m), (nx, ny) or scalar
+    manning_n: Array = 0.05  # Manning roughness (s / m^(1/3))
+    dx: Array = 1.0  # lateral grid spacing (m)
+    h_detention: Array = 0.0  # m of pond retained (micro-topography)
+    water_surface_slope: bool = True  # diffusive-wave; False = pure kinematic
+
+
+def _kinematic_wave_tendency(ro: KinematicWaveRouting, h_s: Array) -> Array:
+    """dh_s/dt from upwinded Manning face fluxes in both lateral axes."""
+    h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
+    z = jnp.broadcast_to(jnp.asarray(ro.elevation, dtype=h_s.dtype), h_s.shape)
+    w = z + h_eff if ro.water_surface_slope else z
+    dh = jnp.zeros_like(h_s)
+    for axis in (0, 1):
+        w_dn = jnp.roll(w, -1, axis=axis)  # neighbor at i+1
+        s = (w - w_dn) / ro.dx  # >0: flow from i to i+1
+        h_up = jnp.where(s > 0.0, h_eff, jnp.roll(h_eff, -1, axis=axis))
+        q = (
+            jnp.sign(s)
+            * jnp.sqrt(jnp.abs(s))
+            * h_up ** (5.0 / 3.0)
+            / ro.manning_n
+        )  # discharge through face (i, i+1), positive toward i+1
+        dh = dh - (q - jnp.roll(q, 1, axis=axis)) / ro.dx
+    return dh
+
+
+@dataclasses.dataclass(frozen=True)
 class SurfaceWaterModel(AbstractModel):
     """Ponded surface-water store (see module docstring).
 
@@ -85,7 +138,9 @@ class SurfaceWaterModel(AbstractModel):
 
     precipitation: Callable[[Array], Array] = _zero_precip
     tau_pond: Array = 60.0
-    runoff: Optional[RunoffRouting] = None
+    #: lateral pond routing: RunoffRouting (head diffusion) or
+    #: KinematicWaveRouting (Manning flow over topography)
+    runoff: Optional[Any] = None
     name: str = "surface"
 
 
@@ -198,18 +253,21 @@ def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
         if ro is not None:
             if h_s.ndim < 2:
                 raise ValueError(
-                    "RunoffRouting requires a 2-D (nx, ny) column grid; "
+                    "runoff routing requires a 2-D (nx, ny) column grid; "
                     f"got pond field of shape {h_s.shape}"
                 )
-            h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
-            lap = (
-                jnp.roll(h_eff, 1, axis=0)
-                + jnp.roll(h_eff, -1, axis=0)
-                + jnp.roll(h_eff, 1, axis=1)
-                + jnp.roll(h_eff, -1, axis=1)
-                - 4.0 * h_eff
-            ) / (ro.dx * ro.dx)
-            dh_s = dh_s + ro.conductance * lap
+            if isinstance(ro, KinematicWaveRouting):
+                dh_s = dh_s + _kinematic_wave_tendency(ro, h_s)
+            else:
+                h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
+                lap = (
+                    jnp.roll(h_eff, 1, axis=0)
+                    + jnp.roll(h_eff, -1, axis=0)
+                    + jnp.roll(h_eff, 1, axis=1)
+                    + jnp.roll(h_eff, -1, axis=1)
+                    - 4.0 * h_eff
+                ) / (ro.dx * ro.dx)
+                dh_s = dh_s + ro.conductance * lap
         return {
             name: dY_soil[name],
             land.surface.name: {"h_s": dh_s},

@@ -274,3 +274,138 @@ def test_land_model_rejects_atmos_top_and_negative_rain():
     Y, Ya = initialize_states(land, _ic, 0.0)
     with pytest.raises(ValueError, match="non-negative"):
         make_rhs(land)(Y, Ya, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Kinematic-wave runoff (Manning flow over topography)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_kinematic_tendency(h, z, n, dx, h_det, water_surface):
+    """Hand-rolled oracle for the upwinded Manning face fluxes."""
+    h_eff = np.maximum(h - h_det, 0.0)
+    w = z + h_eff if water_surface else z + 0.0 * h_eff
+    dh = np.zeros_like(h)
+    for axis in (0, 1):
+        s = (w - np.roll(w, -1, axis=axis)) / dx
+        h_up = np.where(s > 0.0, h_eff, np.roll(h_eff, -1, axis=axis))
+        q = np.sign(s) * np.sqrt(np.abs(s)) * h_up ** (5.0 / 3.0) / n
+        dh -= (q - np.roll(q, 1, axis=axis)) / dx
+    return dh
+
+
+def test_kinematic_wave_tendency_matches_numpy_oracle():
+    from landhydrology_tpu.models.land import (
+        KinematicWaveRouting,
+        _kinematic_wave_tendency,
+    )
+
+    rng = np.random.default_rng(3)
+    h = rng.uniform(0.0, 0.02, (6, 7))
+    z = rng.uniform(0.0, 0.5, (6, 7))
+    for wss in (True, False):
+        ro = KinematicWaveRouting(
+            elevation=jnp.asarray(z), manning_n=0.04, dx=2.0,
+            h_detention=5e-3, water_surface_slope=wss,
+        )
+        got = np.asarray(_kinematic_wave_tendency(ro, jnp.asarray(h)))
+        want = _numpy_kinematic_tendency(h, z, 0.04, 2.0, 5e-3, wss)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-16)
+        # conservative by construction: tendencies sum to zero
+        np.testing.assert_allclose(got.sum(), 0.0, atol=1e-15)
+
+
+def test_kinematic_wave_flows_downhill_and_conserves():
+    """A pond on a Gaussian hill drains into the surrounding valley:
+    hilltop pond shrinks, valley pond grows, soil + pond water closes
+    exactly against zero rainfall input."""
+    import dataclasses
+
+    from landhydrology_tpu.models.land import KinematicWaveRouting
+
+    NX = NY = 8
+    nz = 6
+    dzv = 1.0 / nz
+    x = np.arange(NX)[:, None] - (NX - 1) / 2.0
+    y = np.arange(NY)[None, :] - (NY - 1) / 2.0
+    z_terrain = 0.5 * np.exp(-(x**2 + y**2) / 6.0)  # periodic-safe hill
+
+    soil = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=nz, batch_shape=(NX, NY)),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-8, theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3),
+    )
+    land = LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=lambda t: 0.0,
+            tau_pond=1e9,  # negligible infiltration: isolate the routing
+            runoff=KinematicWaveRouting(
+                elevation=jnp.asarray(z_terrain), manning_n=0.05, dx=1.0
+            ),
+        ),
+    )
+
+    def ic(z, m):
+        return {
+            "vartheta_l": jnp.full((nz, NX, NY), 0.15),
+            "theta_i": jnp.zeros((nz, NX, NY)),
+        }
+
+    h0 = 0.01  # uniform initial pond
+    Y, Ya = initialize_states(land, ic, 0.0, h_s0=h0)
+    sim = Simulation(land, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=0.5,
+                     tspan=(0.0, 300.0))
+    sim.run()
+    h = np.asarray(sim.Y["surface"]["h_s"])
+    assert np.all(np.isfinite(h)) and np.all(h >= -1e-12)
+    hilltop = h[NX // 2, NY // 2]
+    corner = h[0, 0]  # valley floor (periodic far field)
+    assert hilltop < 0.2 * h0  # drained off the hill
+    assert corner > 1.2 * h0  # collected in the valley
+    # conservation: no rain, negligible infiltration -> pond+soil closes
+    soil_mass = float(jnp.sum(sim.Y["soil"]["vartheta_l"])) * dzv
+    soil_mass0 = float(jnp.sum(Y["soil"]["vartheta_l"])) * dzv
+    np.testing.assert_allclose(
+        soil_mass + h.sum(), soil_mass0 + h0 * NX * NY, rtol=1e-10
+    )
+    # diffusive-wave flow is downgradient, so the water-surface spread can
+    # only decrease (the shallow pond cannot flatten 0.5 m of relief, but
+    # it must move monotonically toward it)
+    w0 = z_terrain + h0
+    w1 = z_terrain + h
+    assert w1.std() < w0.std()
+
+
+def test_pure_kinematic_ignores_pond_slope_on_flat_bed():
+    """On a flat bed, diffusive-wave routing spreads a pond bump (its own
+    surface drives flow) while pure kinematic routing (bed slope only)
+    moves nothing."""
+    from landhydrology_tpu.models.land import (
+        KinematicWaveRouting,
+        _kinematic_wave_tendency,
+    )
+
+    h = np.zeros((6, 6))
+    h[2, 2] = 0.05
+    h = jnp.asarray(h)
+    kin = KinematicWaveRouting(
+        elevation=0.0, manning_n=0.05, dx=1.0, water_surface_slope=False
+    )
+    dif = KinematicWaveRouting(
+        elevation=0.0, manning_n=0.05, dx=1.0, water_surface_slope=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_kinematic_wave_tendency(kin, h)), 0.0
+    )
+    d = np.asarray(_kinematic_wave_tendency(dif, h))
+    assert d[2, 2] < 0.0  # bump drains
+    assert d[1, 2] > 0.0 and d[2, 1] > 0.0  # into its neighbors
+    np.testing.assert_allclose(d.sum(), 0.0, atol=1e-16)
