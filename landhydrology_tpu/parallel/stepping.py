@@ -125,6 +125,27 @@ def make_sharded_step(
         return P(*parts)
 
     param_specs = tuple(_param_spec(x) for x in param_args)
+    n_param_args = len(param_args)
+
+    # variable-depth grids (VariableDepthColumn): the closed-over grid's
+    # per-column dz would keep its GLOBAL length inside the per-shard
+    # program — stream it as a sharded argument like the parameter leaves
+    # (the rhs reads centers from Ya['zc'], which is sharded with the state)
+    variable_dz = jnp.ndim(grid.dz) > 0
+    if variable_dz:
+        ones = (1,) * len(batch_shape)
+        grid_stub = dataclasses.replace(
+            grid,
+            dz=jnp.zeros((), dtype),
+            zc=jnp.zeros((grid.nz, *ones), dtype),
+            zf=jnp.zeros((grid.nz + 1, *ones), dtype),
+        )
+        extra_args = (jnp.asarray(grid.dz, dtype=dtype),)
+        extra_specs = (_param_spec(extra_args[0]),)
+    else:
+        grid_stub = grid
+        extra_args = ()
+        extra_specs = ()
 
     def _model_for_shard(local_arrays):
         leaves = list(flat_params)
@@ -152,9 +173,15 @@ def make_sharded_step(
     ax = mesh.axis_names[:2]
     top_idx = grid.nz - 1
 
-    def _step_local(Y, Ya, t, *local_arrays):
+    def _step_local(Y, Ya, t, *args):
+        local_arrays = args[:n_param_args]
+        grid_shard = (
+            dataclasses.replace(grid_stub, dz=args[n_param_args])
+            if variable_dz
+            else grid
+        )
         model_shard = _model_for_shard(list(local_arrays))
-        rhs_local = make_rhs(model_shard, grid)
+        rhs_local = make_rhs(model_shard, grid_shard)
         sp = model_shard.soil_param_set
         hm = (
             model_shard.hydrology_model.hydraulic_model
@@ -169,11 +196,14 @@ def make_sharded_step(
                 theta_i_top = Y[name]["theta_i"][top_idx]
                 nu_eff = sp.nu - theta_i_top
                 psi_top = sw.pressure_head(hm, vartheta_top, nu_eff, sp.S_s)
-                zc_top = jnp.reshape(grid.zc[top_idx], ())
+                # local zc travels with the sharded aux state; for uniform
+                # grids the (1, ...) singleton slab broadcasts identically
+                # to the old scalar reshape
+                zc_top = Ya["zc"][top_idx]
                 h_top = psi_top + zc_top
                 lap = _local_laplacian(h_top, lc.dx, mesh_shape, ax)
                 d = dY[name]["vartheta_l"].at[top_idx].add(
-                    lc.conductance / grid.dz * lap
+                    lc.conductance / grid_shard.dz * lap
                 )
                 dY = {**dY, name: {**dY[name], "vartheta_l": d}}
             return dY
@@ -188,10 +218,10 @@ def make_sharded_step(
         fn = shard_map(
             _step_local,
             mesh=mesh,
-            in_specs=(specs_for(Y), specs_for(Ya), P(), *param_specs),
+            in_specs=(specs_for(Y), specs_for(Ya), P(), *param_specs, *extra_specs),
             out_specs=(specs_for(Y), P()),
         )
-        return fn(Y, Ya, t, *param_args)
+        return fn(Y, Ya, t, *param_args, *extra_args)
 
     return jax.jit(step)
 

@@ -243,3 +243,39 @@ def test_column_sharding_helper():
     # vertical axis replicated: each shard holds all nz levels
     shard_shape = x.sharding.shard_shape(x.shape)
     assert shard_shape == (NZ, NX // 4, NY // 2)
+
+
+@pytest.mark.parametrize("mode", ["pjit", "shard_map"])
+def test_variable_depth_sharded_matches_single_device(mode):
+    """Variable-depth batches shard like any other heterogeneous data:
+    per-column dz streams into the per-shard program (shard_map) or rides
+    the closed-over constants (pjit); both match single-device exactly."""
+    from landhydrology_tpu import VariableDepthColumn
+
+    rng = np.random.default_rng(7)
+    depths = rng.uniform(0.6, 2.5, (NX, NY))
+    model = _model(None)
+    model = dataclasses.replace(
+        model,
+        domain=VariableDepthColumn(
+            z_bottom=jnp.asarray(-depths), nelements=NZ, batch_shape=(NX, NY)
+        ),
+    )
+    Y, Ya = initialize_states(model, _ic, 0.0)
+
+    step1 = make_sharded_step(
+        model, make_column_mesh(shape=(1, 1), devices=jax.devices()[:1]),
+        SSPRK33(), dt=5.0, mode="pjit",
+    )
+    Y1, _ = step1(Y, Ya, jnp.asarray(0.0))
+
+    mesh = make_column_mesh(shape=(4, 2))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    stepN = make_sharded_step(model, mesh, SSPRK33(), dt=5.0, mode=mode)
+    YN, _ = stepN(Ys, Yas, jnp.asarray(0.0))
+
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(YN["soil"][k]), np.asarray(Y1["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=f"{mode}:{k}",
+        )
