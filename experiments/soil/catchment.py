@@ -71,6 +71,7 @@ def main():
         LandModel,
         SurfaceWaterModel,
         initialize_states,
+        kinematic_wave_dt_limit,
     )
     from landhydrology_tpu.models.soil import vanGenuchten
     from landhydrology_tpu.timestepping import SSPRK33
@@ -157,9 +158,7 @@ def main():
     )
     t_start = time.time()
     sol = sim.run()
-    import jax as _jax
-
-    _jax.block_until_ready(sim.Y)
+    jax.block_until_ready(sim.Y)
     wall = time.time() - t_start
 
     # --- analysis
@@ -197,10 +196,19 @@ def main():
             hf[valley].mean() / max(hf[ridge].mean(), 1e-12)
         ),
         "infiltration_valley_vs_ridge_m": [
-            float((vf - v0).sum(axis=0)[valley].mean() * dz_col[valley].mean()),
-            float((vf - v0).sum(axis=0)[ridge].mean() * dz_col[ridge].mean()),
+            # per-column water column gained (m), averaged inside each mask
+            # (soil_gain already carries each column's own dz)
+            float(soil_gain[valley].mean() / args.dx**2),
+            float(soil_gain[ridge].mean() / args.dx**2),
         ],
         "mass_closure_rel_residual": float(closure),
+        # routing stability margin at peak ponding (dt must stay below it)
+        "kinematic_dt_limit_at_peak_s": float(
+            kinematic_wave_dt_limit(
+                land.surface.runoff,
+                jnp.asarray(h_traj[pond_vol.argmax()], dtype=dtype),
+            )
+        ),
     }
     print(json.dumps(summary, indent=1))
     assert summary["finite"]

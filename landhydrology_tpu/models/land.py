@@ -106,7 +106,13 @@ class KinematicWaveRouting:
 
 
 def _kinematic_wave_tendency(ro: KinematicWaveRouting, h_s: Array) -> Array:
-    """dh_s/dt from upwinded Manning face fluxes in both lateral axes."""
+    """dh_s/dt from upwinded Manning face fluxes in both lateral axes.
+
+    NaN-safe under AD: sqrt has an infinite derivative at 0, so the zero-
+    slope branch is masked with a clamped operand (the repo-wide closure
+    rule) — gradients stay finite at exact equilibrium (flat water surface,
+    filled hollows), where adjoint/calibration runs otherwise see 0*inf.
+    """
     h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
     z = jnp.broadcast_to(jnp.asarray(ro.elevation, dtype=h_s.dtype), h_s.shape)
     w = z + h_eff if ro.water_surface_slope else z
@@ -115,14 +121,64 @@ def _kinematic_wave_tendency(ro: KinematicWaveRouting, h_s: Array) -> Array:
         w_dn = jnp.roll(w, -1, axis=axis)  # neighbor at i+1
         s = (w - w_dn) / ro.dx  # >0: flow from i to i+1
         h_up = jnp.where(s > 0.0, h_eff, jnp.roll(h_eff, -1, axis=axis))
-        q = (
+        flowing = jnp.abs(s) > 0.0
+        s_safe = jnp.where(flowing, jnp.abs(s), 1.0)
+        q = jnp.where(
+            flowing,
             jnp.sign(s)
-            * jnp.sqrt(jnp.abs(s))
+            * jnp.sqrt(s_safe)
             * h_up ** (5.0 / 3.0)
-            / ro.manning_n
+            / ro.manning_n,
+            0.0,
         )  # discharge through face (i, i+1), positive toward i+1
         dh = dh - (q - jnp.roll(q, 1, axis=axis)) / ro.dx
     return dh
+
+
+def _diffusive_routing_tendency(ro: RunoffRouting, h_s: Array) -> Array:
+    """dh_s/dt from head diffusion of the pond excess (5-point Laplacian)."""
+    h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
+    lap = (
+        jnp.roll(h_eff, 1, axis=0)
+        + jnp.roll(h_eff, -1, axis=0)
+        + jnp.roll(h_eff, 1, axis=1)
+        + jnp.roll(h_eff, -1, axis=1)
+        - 4.0 * h_eff
+    ) / (ro.dx * ro.dx)
+    return ro.conductance * lap
+
+
+def kinematic_wave_dt_limit(ro: KinematicWaveRouting, h_s: Array) -> Array:
+    """Explicit-stability dt estimate for the kinematic wave: ``dx / max c``
+    with wave speed ``c = (5/3) h^(2/3) sqrt(|s|) / n`` evaluated at every
+    face (the overland-flow analogue of ``diagnostics.explicit_dt_limit``;
+    the blow-up is just as silent — runs look fine until the pond deepens).
+    """
+    h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
+    z = jnp.broadcast_to(jnp.asarray(ro.elevation, dtype=h_s.dtype), h_s.shape)
+    w = z + h_eff if ro.water_surface_slope else z
+    c_max = jnp.asarray(0.0, dtype=h_s.dtype)
+    for axis in (0, 1):
+        s = jnp.abs(w - jnp.roll(w, -1, axis=axis)) / ro.dx
+        h_face = jnp.maximum(h_eff, jnp.roll(h_eff, -1, axis=axis))
+        c = (5.0 / 3.0) * h_face ** (2.0 / 3.0) * jnp.sqrt(s) / ro.manning_n
+        c_max = jnp.maximum(c_max, jnp.max(c))
+    return ro.dx / jnp.maximum(c_max, 1e-30)
+
+
+def routing_tendency(ro, h_s: Array) -> Array:
+    """Lateral pond-routing tendency for any routing config (single
+    dispatch point; new schemes plug in here)."""
+    if h_s.ndim < 2:
+        raise ValueError(
+            "runoff routing requires a 2-D (nx, ny) column grid; "
+            f"got pond field of shape {h_s.shape}"
+        )
+    if isinstance(ro, KinematicWaveRouting):
+        return _kinematic_wave_tendency(ro, h_s)
+    if isinstance(ro, RunoffRouting):
+        return _diffusive_routing_tendency(ro, h_s)
+    raise TypeError(f"unknown runoff routing config {ro!r}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,25 +305,8 @@ def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
         dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
 
         dh_s = P - infiltration
-        ro = land.surface.runoff
-        if ro is not None:
-            if h_s.ndim < 2:
-                raise ValueError(
-                    "runoff routing requires a 2-D (nx, ny) column grid; "
-                    f"got pond field of shape {h_s.shape}"
-                )
-            if isinstance(ro, KinematicWaveRouting):
-                dh_s = dh_s + _kinematic_wave_tendency(ro, h_s)
-            else:
-                h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
-                lap = (
-                    jnp.roll(h_eff, 1, axis=0)
-                    + jnp.roll(h_eff, -1, axis=0)
-                    + jnp.roll(h_eff, 1, axis=1)
-                    + jnp.roll(h_eff, -1, axis=1)
-                    - 4.0 * h_eff
-                ) / (ro.dx * ro.dx)
-                dh_s = dh_s + ro.conductance * lap
+        if land.surface.runoff is not None:
+            dh_s = dh_s + routing_tendency(land.surface.runoff, h_s)
         return {
             name: dY_soil[name],
             land.surface.name: {"h_s": dh_s},

@@ -361,7 +361,10 @@ def test_kinematic_wave_flows_downhill_and_conserves():
 
     h0 = 0.01  # uniform initial pond
     Y, Ya = initialize_states(land, ic, 0.0, h_s0=h0)
-    sim = Simulation(land, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=0.5,
+    # kinematic CFL: c = (5/3) h^(2/3) sqrt(|s|)/n peaks ~2.1 m/s here, so
+    # dt must stay well under dx/c ~ 0.48 s (0.5 was marginal: stable or
+    # not depending on XLA fusion rounding)
+    sim = Simulation(land, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=0.2,
                      tspan=(0.0, 300.0))
     sim.run()
     h = np.asarray(sim.Y["surface"]["h_s"])
@@ -409,3 +412,52 @@ def test_pure_kinematic_ignores_pond_slope_on_flat_bed():
     assert d[2, 2] < 0.0  # bump drains
     assert d[1, 2] > 0.0 and d[2, 1] > 0.0  # into its neighbors
     np.testing.assert_allclose(d.sum(), 0.0, atol=1e-16)
+
+
+def test_kinematic_wave_gradients_finite_at_equilibrium():
+    """The Manning closure must be NaN-safe under AD at zero driving slope
+    (flat water surface / filled hollows) — the repo-wide closure rule.
+    sqrt'(0) is infinite, so the zero-slope branch needs a clamped operand."""
+    import jax
+
+    from landhydrology_tpu.models.land import (
+        KinematicWaveRouting,
+        _kinematic_wave_tendency,
+    )
+
+    for wss, h in [
+        (True, jnp.full((5, 5), 0.01)),   # flat surface: every slope == 0
+        (False, jnp.full((5, 5), 0.01)),  # flat bed: every slope == 0
+        (True, jnp.zeros((5, 5))),        # fully dry
+    ]:
+        ro = KinematicWaveRouting(
+            elevation=0.0, manning_n=0.05, dx=1.0, water_surface_slope=wss
+        )
+        g = jax.grad(lambda hh: jnp.sum(_kinematic_wave_tendency(ro, hh)))(h)
+        assert np.all(np.isfinite(np.asarray(g))), (wss, h[0, 0])
+    # and gradients flow where water actually moves
+    hb = jnp.zeros((5, 5)).at[2, 2].set(0.05)
+    ro = KinematicWaveRouting(elevation=0.0, manning_n=0.05, dx=1.0)
+    g = jax.grad(lambda hh: _kinematic_wave_tendency(ro, hh)[2, 2])(hb)
+    assert np.all(np.isfinite(np.asarray(g))) and float(g[2, 2]) != 0.0
+
+
+def test_kinematic_wave_dt_limit_flags_unstable_config():
+    """The routing CFL estimator brackets the empirical stability edge of
+    the downhill-drain configuration (dt=0.5 was marginal there)."""
+    from landhydrology_tpu.models.land import (
+        KinematicWaveRouting,
+        kinematic_wave_dt_limit,
+    )
+
+    x = np.arange(8)[:, None] - 3.5
+    y = np.arange(8)[None, :] - 3.5
+    z = 0.5 * np.exp(-(x**2 + y**2) / 6.0)
+    ro = KinematicWaveRouting(elevation=jnp.asarray(z), manning_n=0.05, dx=1.0)
+    # at the pond depths the drain run actually reaches (h ~ 0.05 in the
+    # valley), the limit must be of order the observed ~0.5 s edge
+    h = jnp.full((8, 8), 0.05)
+    lim = float(kinematic_wave_dt_limit(ro, h))
+    assert 0.1 < lim < 5.0
+    # dry grid: no wave, no limit
+    assert float(kinematic_wave_dt_limit(ro, jnp.zeros((8, 8)))) > 1e20
