@@ -8,6 +8,7 @@ jnp ufuncs over batched arrays; the Julia branches on ``theta_w < eps`` and
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax.numpy as jnp
@@ -63,13 +64,25 @@ def saturated_thermal_conductivity(
     0 when theta_w < eps (cf. ``SoilHeatParameterizations.jl:114-128``).
 
     Masked form: the fractions are computed with theta_w clamped away from 0,
-    then the dry branch selects 0.
+    then the dry branch selects 0.  The two power laws collapse to a single
+    exponential, exp((theta_l ln k_unf + theta_i ln k_fr)/theta_w) — one
+    transcendental per point instead of the two exp∘log pairs the pows lower
+    to (the logs are trace-time constants for scalar parameters, and O(batch)
+    once-per-sweep values for per-column parameter arrays).
     """
     theta_w = theta_l + theta_i
     theta_w_safe = jnp.maximum(theta_w, _eps_of(theta_w))
-    kappa = kappa_sat_unfrozen ** (theta_l / theta_w_safe) * kappa_sat_frozen ** (
-        theta_i / theta_w_safe
+    ln_unf = (
+        math.log(kappa_sat_unfrozen)
+        if isinstance(kappa_sat_unfrozen, (int, float))
+        else jnp.log(kappa_sat_unfrozen)
     )
+    ln_fr = (
+        math.log(kappa_sat_frozen)
+        if isinstance(kappa_sat_frozen, (int, float))
+        else jnp.log(kappa_sat_frozen)
+    )
+    kappa = jnp.exp((theta_l * ln_unf + theta_i * ln_fr) / theta_w_safe)
     return jnp.where(theta_w < _eps_of(theta_w), 0.0, kappa)
 
 
@@ -90,6 +103,13 @@ def kersten_number(theta_i: Array, S_r: Array, soil_params) -> Array:
     The cube of ``(1 - S_r)/2`` is expanded as an odd integer power so a
     (numerically) negative base cannot NaN, and the bracket is clamped >= 0
     before the fractional power.
+
+    Transcendental budget: (1 + e)^-3 is a reciprocal cube (multiplies, no
+    pow), the unfrozen product collapses into a single fused exponential,
+    and both branches share one log(S_r) — 3 exps + 2 logs per point versus
+    the 1 exp + 4 exp∘log pairs of the naive form.  Positive exponents make
+    the tiny-clamped log exact at S_r = 0 (exp(c log tiny) underflows to the
+    correct 0 limit).
     """
     a = soil_params.a
     b = soil_params.b
@@ -99,12 +119,16 @@ def kersten_number(theta_i: Array, S_r: Array, soil_params) -> Array:
 
     S_r_safe = jnp.maximum(S_r, 0.0)
     half = (1.0 - S_r_safe) / 2.0
-    bracket = (1.0 + jnp.exp(-b * S_r_safe)) ** (-3.0) - half * half * half
-    bracket = jnp.maximum(bracket, 0.0)
-    K_e_unfrozen = S_r_safe ** (
-        (1.0 + nu_ss_om - a * nu_ss_quartz - nu_ss_gravel) / 2.0
-    ) * bracket ** (1.0 - nu_ss_om)
-    K_e_frozen = S_r_safe ** (1.0 + nu_ss_om)
+    t = 1.0 + jnp.exp(-b * S_r_safe)
+    bracket = 1.0 / (t * t * t) - half * half * half
+    tiny = jnp.finfo(jnp.result_type(S_r)).tiny
+    ln_S = jnp.log(jnp.maximum(S_r_safe, tiny))
+    ln_bracket = jnp.log(jnp.maximum(bracket, tiny))
+    K_e_unfrozen = jnp.exp(
+        ln_S * ((1.0 + nu_ss_om - a * nu_ss_quartz - nu_ss_gravel) / 2.0)
+        + ln_bracket * (1.0 - nu_ss_om)
+    )
+    K_e_frozen = jnp.exp(ln_S * (1.0 + nu_ss_om))
     return jnp.where(theta_i < _eps_of(S_r), K_e_unfrozen, K_e_frozen)
 
 

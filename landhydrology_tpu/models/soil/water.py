@@ -15,6 +15,7 @@ state (heterogeneous per-column soils, SURVEY.md §2 row 13).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any
 
 import jax
@@ -26,6 +27,11 @@ Array = Any
 def _eps_of(x) -> Array:
     """Machine epsilon of the dtype of ``x`` (Julia ``eps(FT)``)."""
     return jnp.finfo(jnp.result_type(x)).eps
+
+
+def _tiny_of(x) -> Array:
+    """Smallest positive normal of the dtype of ``x`` (log-domain guard)."""
+    return jnp.finfo(jnp.result_type(x)).tiny
 
 
 # --------------------------------------------------------------------------
@@ -80,10 +86,12 @@ def impedance_factor(factor: AbstractConductivityFactor, f_i: Array) -> Array:
     """Ice impedance multiplicative factor
     (cf. ``SoilWaterParameterizations.jl:76-93``).
 
-    ``NoEffect`` returns 1; ``IceImpedance`` returns 10^(-Omega f_i).
+    ``NoEffect`` returns 1; ``IceImpedance`` returns 10^(-Omega f_i),
+    evaluated as exp(-Omega ln10 f_i) — one transcendental instead of the
+    exp∘log pair a generic ``pow`` lowers to on the TPU VPU.
     """
     if isinstance(factor, IceImpedance):
-        return jnp.power(10.0, -factor.omega * f_i)
+        return jnp.exp((-math.log(10.0)) * factor.omega * f_i)
     return jnp.ones_like(f_i)
 
 
@@ -145,12 +153,22 @@ def matric_potential(hm: vanGenuchten, S: Array) -> Array:
     clamp of S so no infinite derivative leaks a NaN cotangent through the
     selecting ``where`` under AD.  Callers needing the saturated
     (compressibility) pressure head use :func:`pressure_head`.
+
+    The power laws are evaluated in the log domain (``pow`` lowers to
+    exp∘log on the TPU VPU anyway); ``log(S_safe)`` is shared with
+    :func:`hydraulic_conductivity` by CSE when both see the same ``S``.
     """
     n, alpha, m = hm.n, hm.alpha, hm.m
     eps = _eps_of(S)
     S_safe = jnp.clip(S, eps, 1.0 - eps)
-    base = (S_safe ** (-1.0 / m) - 1.0) * alpha ** (-n)
-    return jnp.where(S < 1.0, -(base ** (1.0 / n)), 0.0)
+    # S_safe <= 1 - eps  =>  S^(-1/m) - 1 >= eps/m > 0; the tiny-guard only
+    # protects the log from underflow-to-zero rounding.  S^(-1/m) is the
+    # reciprocal of the u = S^(1/m) term of hydraulic_conductivity, spelled
+    # identically so the exp CSEs away when both closures run in one sweep.
+    u = jnp.exp(jnp.log(S_safe) * (1.0 / m))
+    base = (1.0 / u - 1.0) * alpha ** (-n)
+    psi_unsat = -jnp.exp(jnp.log(jnp.maximum(base, _tiny_of(S))) * (1.0 / n))
+    return jnp.where(S < 1.0, psi_unsat, 0.0)
 
 
 def inverse_matric_potential(hm: vanGenuchten, psi: Array) -> Array:
@@ -192,11 +210,18 @@ def hydraulic_conductivity(
     NaN-safe: S is clamped into [eps, 1 - eps] before the power laws (the
     strict interior keeps derivatives finite under AD), then the saturated
     branch is selected with ``where``.
+
+    Log-domain evaluation: u = S^(1/m) = exp(log(S)/m) (clamp keeps
+    u <= (1-eps)^(1/m) < 1, so 1-u stays positive), (1-u)^m likewise, and
+    the outer square is a multiply.  ``log(S_safe)`` CSEs with
+    :func:`matric_potential` when both closures see the same ``S``.
     """
     m, Ksat = hm.m, hm.Ksat
     eps = _eps_of(S)
     S_safe = jnp.clip(S, eps, 1.0 - eps)
-    K_unsat = jnp.sqrt(S_safe) * (1.0 - (1.0 - S_safe ** (1.0 / m)) ** m) ** 2
+    u = jnp.exp(jnp.log(S_safe) * (1.0 / m))  # S^(1/m) in (0, 1)
+    f = 1.0 - jnp.exp(jnp.log(jnp.maximum(1.0 - u, _tiny_of(S))) * m)
+    K_unsat = jnp.sqrt(S_safe) * f * f
     K = jnp.where(S < 1.0, K_unsat, 1.0)
     return K * Ksat * viscosity_f * impedance_f
 
