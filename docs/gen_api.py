@@ -17,6 +17,8 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     import landhydrology_tpu.adaptive as adaptive
     import landhydrology_tpu.checkpoint as ckpt
+    import landhydrology_tpu.cli as cli
+    import landhydrology_tpu.config as config
     import landhydrology_tpu.constants as con
     import landhydrology_tpu.diagnostics as diag
     import landhydrology_tpu.domains as dom
@@ -59,6 +61,8 @@ def main():
         ("checkpoint", ckpt),
         ("diagnostics", diag),
         ("runtime.io", rio),
+        ("config", config),
+        ("cli", cli),
     ]
     lines = [
         "# API reference",

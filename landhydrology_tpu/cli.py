@@ -1,0 +1,257 @@
+"""Command-line entry point: run a simulation from a JSON config file.
+
+The reference has no CLI — its "user entry" layer is Julia scripts composing
+constructors (SURVEY.md §1 row 8).  This module keeps that constructor
+lattice as the source of truth (``config.py`` serializes it) and adds the
+thin driver the reference lacks::
+
+    python -m landhydrology_tpu run run.json
+    python -m landhydrology_tpu describe run.json
+    python -m landhydrology_tpu example > run.json
+
+Config layout (the ``model`` section is exactly ``config.to_config(model)``):
+
+.. code-block:: json
+
+    {
+      "model": {"__type__": "SoilModel", ...},
+      "simulation": {"dt": 100.0, "t_final": 86400.0, "saveat": 3600.0,
+                     "stepper": "SSPRK33"},
+      "initial_conditions": {"kind": "default"},
+      "output": {"path": "trajectory.npz"},
+      "checkpoint": {"directory": "ckpts", "every": 10000}
+    }
+
+``initial_conditions.kind`` is one of:
+
+- ``default`` — the reference's defaults (T_0, no ice, vartheta_l = nu/2;
+  ``models.jl:147-162``); fully coupled models only.
+- ``constant`` — uniform ``vartheta_l``/``theta_i`` (and ``T`` for dynamic
+  energy, converted to rho_e_int through the closure chain).
+- ``hydrostatic`` — equilibrium moisture profile with the water table at
+  ``z_table`` (``SoilWaterParameterizations.jl:290-306``), plus uniform
+  ``T`` for dynamic energy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+from landhydrology_tpu import timestepping
+
+STEPPERS = {
+    "ForwardEuler": timestepping.ForwardEuler,
+    "SSPRK22": timestepping.SSPRK22,
+    "SSPRK33": timestepping.SSPRK33,
+    "SSPRK104": timestepping.SSPRK104,
+}
+
+
+def _build_stepper(name: str):
+    if name in STEPPERS:
+        return STEPPERS[name]()
+    if name in ("BackwardEulerRichards", "BackwardEulerSoil"):
+        from landhydrology_tpu import imex
+
+        return getattr(imex, name)()
+    raise KeyError(
+        f"unknown stepper {name!r}; available: "
+        f"{sorted(STEPPERS) + ['BackwardEulerRichards', 'BackwardEulerSoil']}"
+    )
+
+
+def _build_ic(model, spec: dict):
+    import jax.numpy as jnp
+
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+    from landhydrology_tpu.models.soil.initial_conditions import initialize_states
+    from landhydrology_tpu.models.soil.model import SoilEnergyModel
+    from landhydrology_tpu.models.soil.water import hydrostatic_profile
+
+    kind = spec.get("kind", "default")
+    if kind == "default":
+        return model.default_initial_conditions()
+
+    dynamic_energy = isinstance(model.energy_model, SoilEnergyModel)
+
+    def ic(z, m):
+        if kind == "constant":
+            vartheta_l = jnp.full_like(z, spec["vartheta_l"])
+        elif kind == "hydrostatic":
+            vartheta_l = hydrostatic_profile(
+                m.hydrology_model.hydraulic_model,
+                z,
+                spec["z_table"],
+                m.soil_param_set.nu,
+                m.soil_param_set.S_s,
+            )
+        else:
+            raise KeyError(f"unknown initial_conditions.kind {kind!r}")
+        theta_i = jnp.full_like(z, spec.get("theta_i", 0.0))
+        out = {"vartheta_l": vartheta_l, "theta_i": theta_i}
+        if dynamic_energy:
+            T = jnp.full_like(z, spec.get("T", 288.0))
+            theta_l = jnp.minimum(vartheta_l, m.soil_param_set.nu - theta_i)
+            rho_c_s = volumetric_heat_capacity(
+                theta_l, theta_i, m.soil_param_set.rho_c_ds, m.earth_param_set
+            )
+            out["rho_e_int"] = volumetric_internal_energy(
+                theta_i, rho_c_s, T, m.earth_param_set
+            )
+        return out
+
+    return initialize_states(model, ic, spec.get("t0", 0.0))
+
+
+def load_run(path: str):
+    """Parse a config file into (model, stepper, Y, Ya, sim_kwargs, cfg)."""
+    from landhydrology_tpu.config import from_config
+
+    with open(path) as f:
+        cfg = json.load(f)
+    model = from_config(cfg["model"])
+    sim = cfg.get("simulation", {})
+    stepper = _build_stepper(sim.get("stepper", "SSPRK33"))
+    Y, Ya = _build_ic(model, cfg.get("initial_conditions", {"kind": "default"}))
+    sim_kwargs = dict(
+        dt=float(sim["dt"]),
+        tspan=(float(sim.get("t0", 0.0)), float(sim["t_final"])),
+        saveat=float(sim["saveat"]) if "saveat" in sim else None,
+    )
+    return model, stepper, Y, Ya, sim_kwargs, cfg
+
+
+def cmd_run(path: str) -> int:
+    import numpy as np
+
+    from landhydrology_tpu.simulations import Simulation
+
+    model, stepper, Y, Ya, sim_kwargs, cfg = load_run(path)
+    sim = Simulation(model, stepper, Y_init=Y, Ya_init=Ya, **sim_kwargs)
+
+    ckpt_cfg = cfg.get("checkpoint")
+    manager = None
+    if ckpt_cfg:
+        from landhydrology_tpu.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(ckpt_cfg["directory"])
+        latest = manager.latest()
+        if latest is not None:
+            Y_res, t_res, _ = manager.restore(Y, latest)
+            sim = Simulation(
+                model,
+                stepper,
+                Y_init=Y_res,
+                Ya_init=Ya,
+                dt=sim_kwargs["dt"],
+                tspan=(float(t_res), sim_kwargs["tspan"][1]),
+                saveat=sim_kwargs["saveat"],
+            )
+            print(f"resumed from checkpoint step {latest} (t={t_res})")
+
+    sol = sim.run()
+
+    out_cfg = cfg.get("output", {})
+    out_path = out_cfg.get("path", "trajectory.npz")
+    arrays = {"t": np.asarray(sol.ts)}
+    last = sol.state(len(sol) - 1)["soil"]
+    for k in last:
+        arrays[k] = np.stack(
+            [np.asarray(sol.state(i)["soil"][k]) for i in range(len(sol))]
+        )
+    np.savez(out_path, **arrays)
+    if manager is not None:
+        nsteps = int(
+            round((sim_kwargs["tspan"][1] - sim_kwargs["tspan"][0]) / sim_kwargs["dt"])
+        )
+        manager.save(nsteps, sol.state(len(sol) - 1), sim_kwargs["tspan"][1])
+    print(
+        f"wrote {out_path}: {len(sol)} saves x fields "
+        f"{sorted(k for k in arrays if k != 't')}"
+    )
+    return 0
+
+
+def cmd_describe(path: str) -> int:
+    model, stepper, Y, Ya, sim_kwargs, _ = load_run(path)
+    import jax
+
+    n_state = sum(x.size for x in jax.tree_util.tree_leaves(Y))
+    print(f"model: {type(model).__name__} (name={model.name!r})")
+    print(f"  energy:    {type(model.energy_model).__name__}")
+    print(f"  hydrology: {type(model.hydrology_model).__name__}")
+    print(f"  domain:    {model.domain}")
+    print(f"stepper: {type(stepper).__name__} ({stepper.stages} stage(s))")
+    print(f"tspan: {sim_kwargs['tspan']}, dt: {sim_kwargs['dt']}")
+    print(f"state: {n_state} scalars in {list(Y['soil'])}")
+    return 0
+
+
+EXAMPLE = {
+    "model": None,  # filled in below
+    "simulation": {"dt": 100.0, "t_final": 86400.0, "saveat": 21600.0,
+                   "stepper": "SSPRK33"},
+    "initial_conditions": {"kind": "default"},
+    "output": {"path": "trajectory.npz"},
+}
+
+
+def cmd_example() -> int:
+    from landhydrology_tpu import (
+        Column,
+        SoilColumnBC,
+        SoilComponentBC,
+        SoilEnergyModel,
+        SoilHydrologyModel,
+        SoilModel,
+        SoilParams,
+        VerticalFlux,
+    )
+    from landhydrology_tpu.config import to_config
+    from landhydrology_tpu.models.soil import vanGenuchten
+
+    model = SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=32),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(hydraulic_model=vanGenuchten()),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(
+                energy=VerticalFlux(0.0), hydrology=VerticalFlux(0.0)
+            ),
+            bottom=SoilComponentBC(
+                energy=VerticalFlux(0.0), hydrology=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(),
+    )
+    cfg = dict(EXAMPLE)
+    cfg["model"] = to_config(model)
+    json.dump(cfg, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+def main(argv: Any = None) -> int:
+    p = argparse.ArgumentParser(prog="landhydrology_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    p_run = sub.add_parser("run", help="run a simulation from a JSON config")
+    p_run.add_argument("config")
+    p_desc = sub.add_parser("describe", help="summarize a config without running")
+    p_desc.add_argument("config")
+    sub.add_parser("example", help="print an example config to stdout")
+    args = p.parse_args(argv)
+    if args.cmd == "run":
+        return cmd_run(args.config)
+    if args.cmd == "describe":
+        return cmd_describe(args.config)
+    return cmd_example()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

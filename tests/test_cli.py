@@ -1,0 +1,110 @@
+"""End-to-end tests of the config-file CLI driver (``landhydrology_tpu.cli``).
+
+The reference's user entry is scripts only (SURVEY.md §1 row 8); the CLI is
+a TPU-build addition, so the oracle here is the library API itself: a run
+driven through ``cli.cmd_run`` must reproduce the same trajectory as the
+equivalent hand-composed ``Simulation``.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from landhydrology_tpu import cli
+
+
+@pytest.fixture()
+def example_cfg(tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.cmd_example()
+    cfg = json.loads(buf.getvalue())
+    return cfg, tmp_path
+
+
+def test_example_config_runs_and_matches_library(example_cfg):
+    cfg, tmp = example_cfg
+    cfg["simulation"] = {
+        "dt": 50.0,
+        "t_final": 5000.0,
+        "saveat": 2500.0,
+        "stepper": "SSPRK33",
+    }
+    out = tmp / "traj.npz"
+    cfg["output"] = {"path": str(out)}
+    cfg_path = tmp / "run.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    assert cli.cmd_run(str(cfg_path)) == 0
+    data = np.load(out)
+    assert set(data.files) >= {"t", "vartheta_l", "theta_i", "rho_e_int"}
+    assert data["vartheta_l"].shape[0] == len(data["t"])
+
+    # oracle: the same run composed by hand through the library API
+    from landhydrology_tpu.simulations import Simulation
+
+    model, stepper, Y, Ya, sim_kwargs, _ = cli.load_run(str(cfg_path))
+    sol = Simulation(model, stepper, Y_init=Y, Ya_init=Ya, **sim_kwargs).run()
+    np.testing.assert_array_equal(
+        data["vartheta_l"][-1], np.asarray(sol.state(-1)["soil"]["vartheta_l"])
+    )
+
+
+def test_describe_and_steppers(example_cfg, capsys):
+    cfg, tmp = example_cfg
+    cfg_path = tmp / "run.json"
+    cfg["simulation"]["stepper"] = "SSPRK104"
+    cfg_path.write_text(json.dumps(cfg))
+    assert cli.cmd_describe(str(cfg_path)) == 0
+    captured = capsys.readouterr().out
+    assert "SSPRK104" in captured and "SoilModel" in captured
+
+    with pytest.raises(KeyError):
+        cli._build_stepper("NoSuchStepper")
+
+
+def test_hydrostatic_ic_and_checkpoint_resume(example_cfg):
+    cfg, tmp = example_cfg
+    cfg["initial_conditions"] = {"kind": "hydrostatic", "z_table": -1.0, "T": 290.0}
+    cfg["simulation"] = {"dt": 50.0, "t_final": 2000.0, "saveat": 1000.0,
+                        "stepper": "SSPRK33"}
+    out = tmp / "traj.npz"
+    cfg["output"] = {"path": str(out)}
+    cfg["checkpoint"] = {"directory": str(tmp / "ckpts")}
+    cfg_path = tmp / "run.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    assert cli.cmd_run(str(cfg_path)) == 0
+    first = np.load(out)["vartheta_l"][-1]
+
+    # hydrostatic IC: moisture decreases toward the surface above the table
+    prof0 = np.load(out)["vartheta_l"][0]
+    assert prof0[-1] < prof0[0]
+
+    # re-running resumes from the saved checkpoint (restarts at t_final with
+    # an empty remaining span is degenerate, so extend the horizon)
+    cfg["simulation"]["t_final"] = 4000.0
+    cfg_path.write_text(json.dumps(cfg))
+    assert cli.cmd_run(str(cfg_path)) == 0
+    resumed = np.load(out)["vartheta_l"][-1]
+    assert resumed.shape == first.shape
+
+
+def test_main_module_entrypoint(tmp_path):
+    """`python -m landhydrology_tpu example` works as a subprocess."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "landhydrology_tpu", "example"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    cfg = json.loads(proc.stdout)
+    assert cfg["model"]["__type__"] == "SoilModel"
