@@ -153,7 +153,7 @@ class ColumnGrid:
         return (self.nz, *self.batch_shape)
 
 
-def make_function_space(domain, dtype=jnp.float64) -> ColumnGrid:
+def make_function_space(domain, dtype=jnp.float64, as_numpy: bool = False) -> ColumnGrid:
     """Build the (center, face) coordinate grid for a column
     (cf. ``domain.jl:58-69``).
 
@@ -162,10 +162,21 @@ def make_function_space(domain, dtype=jnp.float64) -> ColumnGrid:
     a :class:`Column` yields broadcast-singleton coordinates and a scalar
     ``dz``; a :class:`VariableDepthColumn` yields full per-column coordinate
     arrays and a ``(*batch)``-shaped ``dz``.
+
+    ``as_numpy=True`` returns host numpy coordinates (and a Python-float
+    ``dz`` for uniform columns) — required when the grid's scalars must be
+    baked as compile-time literals (Pallas kernels cannot capture device
+    constants, and inside a jit trace even ``jnp.asarray(2.0)`` is a
+    tracer).
     """
     dtype = jnp.dtype(dtype) if jnp.issubdtype(jnp.dtype(dtype), jnp.floating) else jnp.dtype(
         jnp.float32
     )
+    np_dtype = np.dtype(dtype.name)
+    if as_numpy:
+        conv = lambda x: np.asarray(x, dtype=np_dtype)  # noqa: E731
+    else:
+        conv = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
     if isinstance(domain, VariableDepthColumn):
         nz = int(domain.nelements)
         batch = tuple(domain.batch_shape)
@@ -176,9 +187,9 @@ def make_function_space(domain, dtype=jnp.float64) -> ColumnGrid:
         zf = zb[None] + k * dz[None]  # (nz+1, *batch)
         zc = 0.5 * (zf[:-1] + zf[1:])  # (nz, *batch)
         return ColumnGrid(
-            zc=jnp.asarray(zc, dtype=dtype),
-            zf=jnp.asarray(zf, dtype=dtype),
-            dz=jnp.asarray(dz, dtype=dtype),
+            zc=conv(zc),
+            zf=conv(zf),
+            dz=conv(dz),
             nz=nz,
             batch_shape=batch,
         )
@@ -189,9 +200,9 @@ def make_function_space(domain, dtype=jnp.float64) -> ColumnGrid:
     zc = 0.5 * (zf[:-1] + zf[1:])
     ones = (1,) * len(domain.batch_shape)
     return ColumnGrid(
-        zc=jnp.asarray(zc, dtype=dtype).reshape((nz, *ones)),
-        zf=jnp.asarray(zf, dtype=dtype).reshape((nz + 1, *ones)),
-        dz=jnp.asarray(dz, dtype=dtype),
+        zc=conv(zc).reshape((nz, *ones)),
+        zf=conv(zf).reshape((nz + 1, *ones)),
+        dz=float(np_dtype.type(dz)) if as_numpy else conv(dz),
         nz=nz,
         batch_shape=tuple(domain.batch_shape),
     )

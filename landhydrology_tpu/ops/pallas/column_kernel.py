@@ -77,15 +77,17 @@ def make_fused_column_run(
             "column grid before calling"
         )
 
-    grid_obj = make_function_space(model.domain, model.float_dtype)
+    # Host-side numpy grid: the kernel bakes dz/zc as compile-time literals
+    # (Pallas kernels cannot capture device constants, and this factory may
+    # itself run inside a jit/shard_map trace — make_fused_sharded_run —
+    # where even jnp.asarray(2.0) is a tracer).
+    grid_obj = make_function_space(model.domain, model.float_dtype, as_numpy=True)
     nz = grid_obj.nz
     dtype = model.float_dtype
     # Variable-depth grids (VariableDepthColumn) carry a per-column dz and a
     # full (nz, ncol) zc; both are streamed as tiled kernel inputs like the
     # heterogeneous soil parameters.  Uniform grids bake dz/zc as literals.
-    variable_dz = jnp.ndim(grid_obj.dz) > 0
-    # Pallas kernels cannot capture device-array constants: give the rhs a
-    # grid whose scalars are Python literals (baked into the kernel).
+    variable_dz = np.ndim(grid_obj.dz) > 0
     if variable_dz:
         # dz placeholder is replaced per tile inside the kernel; the rhs
         # never reads grid.zc/zf (centers come from Ya['zc']), so zero stubs
@@ -97,12 +99,7 @@ def make_fused_column_run(
             zf=np.zeros((nz + 1,) + (1,) * len(grid_obj.batch_shape)),
         )
     else:
-        grid_lit = dataclasses.replace(
-            grid_obj,
-            dz=float(grid_obj.dz),
-            zc=np.asarray(grid_obj.zc),
-            zf=np.asarray(grid_obj.zf),
-        )
+        grid_lit = grid_obj
     name = model.name
     dt_c = float(dt)
 

@@ -16,7 +16,11 @@ from landhydrology_tpu.parallel.mesh import (
     shard_state,
 )
 from landhydrology_tpu.parallel.halo import halo_exchanged_laplacian
-from landhydrology_tpu.parallel.stepping import make_sharded_step
+from landhydrology_tpu.parallel.stepping import (
+    make_fused_sharded_run,
+    make_sharded_run,
+    make_sharded_step,
+)
 
 __all__ = [
     "make_column_mesh",
@@ -24,4 +28,6 @@ __all__ = [
     "shard_state",
     "halo_exchanged_laplacian",
     "make_sharded_step",
+    "make_sharded_run",
+    "make_fused_sharded_run",
 ]
