@@ -202,17 +202,51 @@ def main():
 
     t_pal, Yp = time_fn(run_pallas, Y, jnp.asarray(0.0, dtype=dtype))
 
-    # cross-check the two paths agree (f32 tolerance over n_steps)
+    # --- sharded fused path (the multi-chip hot loop, here on a 1-device
+    # mesh: measures shard_map overhead over the plain fused kernel) ---
+    from landhydrology_tpu.parallel import (
+        make_column_mesh,
+        make_fused_sharded_run,
+        shard_state,
+    )
+
+    mesh1 = make_column_mesh(
+        shape=(1,), axis_names=("columns",), devices=jax.devices()[:1]
+    )
+    run_sharded = make_fused_sharded_run(
+        model,
+        mesh1,
+        stepper,
+        dt=args.dt,
+        steps_per_call=args.steps_per_call,
+        n_calls=n_calls,
+        tile_cols=args.tile_cols,
+        interpret=interpret,
+    )
+    t_sh, sh_out = time_fn(
+        run_sharded,
+        shard_state(Y, mesh1),
+        shard_state(Ya, mesh1),
+        jnp.asarray(0.0, dtype=dtype),
+    )
+    Ysh = sh_out[0]
+
+    # cross-check the paths agree (f32 tolerance over n_steps)
     import numpy as np
 
     v_x = np.asarray(Yx["soil"]["vartheta_l"])
     v_p = np.asarray(Yp["soil"]["vartheta_l"])
+    v_s = np.asarray(Ysh["soil"]["vartheta_l"])
     max_dev = float(np.max(np.abs(v_x - v_p)))
-    ok = bool(np.isfinite(v_p).all() and max_dev < 1e-4)
+    max_dev_sh = float(np.max(np.abs(v_p - v_s)))
+    ok = bool(
+        np.isfinite(v_p).all() and max_dev < 1e-4 and max_dev_sh < 1e-6
+    )
 
     gps_xla = points / t_xla
     gps_pal = points / t_pal
-    value = max(gps_pal, gps_xla)
+    gps_sh = points / t_sh
+    value = max(gps_pal, gps_xla, gps_sh)
     result = {
         "metric": "coupled soil-column grid-points/s per chip",
         "value": value,
@@ -227,8 +261,11 @@ def main():
             "steps_per_call": args.steps_per_call,
             "xla_grid_points_per_s": gps_xla,
             "pallas_grid_points_per_s": gps_pal,
+            "sharded_fused_grid_points_per_s": gps_sh,
+            "sharded_vs_plain_fused": gps_sh / gps_pal,
             "paths_agree": ok,
             "max_dev": max_dev,
+            "max_dev_sharded": max_dev_sh,
             "note": "vs_baseline = fused-pallas vs jit-scan XLA on the same "
             "chip (reference publishes no perf numbers, SURVEY.md §6)",
         },
