@@ -39,8 +39,18 @@ Array = Any
 #: Businger stable-regime slope and turbulent Prandtl number
 _BUSINGER_A = 4.7
 _PRANDTL_0 = 0.74
-#: fixed iteration count of the Obukhov-length fixed point
-_N_ITER = 30
+#: fixed iteration count of the Obukhov-length bisection: each halving of
+#: the bracket [-50, 50]/z_atm gains one bit, so 62 iterations reach
+#: machine-precision |delta Linv| across the full stable/unstable/neutral
+#: validation grid (tests/soil/test_most_oracle.py).  A damped fixed point
+#: was used originally but fails to converge in low-wind stable states
+#: (the update map expands there) — found by the independent Brent oracle.
+_N_ITER = 62
+#: bisection bracket in zeta = z_atm/L units; beyond |zeta|=50 Businger
+#: similarity has no credible solution (critical-stability decoupling) and
+#: the bracketed answer saturates at the edge (a regularization, flagged by
+#: the returned residual)
+_ZETA_BRACKET = 50.0
 #: stability-parameter clamp — keeps the universal functions in-domain
 _ZETA_MIN, _ZETA_MAX = -100.0, 100.0
 
@@ -161,9 +171,17 @@ def surface_conditions(
     Obukhov length ``L`` (the role of SurfaceFluxes.jl `surface_conditions`,
     ``boundary_conditions.jl:595-604``).
 
-    Fully vectorized over any broadcastable batch of columns; fixed
-    ``_N_ITER`` damped fixed-point iterations on the inverse Obukhov length
-    (convergence is monitored by the returned ``delta`` residual).
+    Fully vectorized over any broadcastable batch of columns: a fixed
+    ``_N_ITER``-step bisection of the Obukhov consistency equation
+    ``f(1/L) = 1/L - kappa g theta_v_star / (u_star^2 theta_scale)`` on the
+    bracket ``|zeta| <= _ZETA_BRACKET`` — branch-free (``jnp.where`` interval
+    updates inside ``lax.fori_loop``), so it jits, vmaps, and lowers inside
+    the fused Pallas kernel.  Bisection converges unconditionally; the
+    returned ``residual`` is the final half-bracket width on 1/L (machine
+    precision when a root exists; large when the state sits in the
+    critical-stability decoupling regime where the bracketed answer
+    saturates at the edge).  Validated against an independent scipy Brent
+    solve in ``tests/soil/test_most_oracle.py``.
     """
     kappa = param_set.von_karman_const
     g = param_set.grav
@@ -174,10 +192,10 @@ def surface_conditions(
     log_m = jnp.log(z_atm / z_0m)
     log_s = jnp.log(z_atm / z_0s)
 
-    # start neutral; derive the zero from the inputs so it inherits their
+    # derive the batch-shaped zero from the inputs so it inherits their
     # sharding/varying-axes under shard_map (a fresh jnp.zeros would be
-    # unvarying and break the fixed-point loop's carry typing)
-    Linv0 = (
+    # unvarying and break the loop's carry typing)
+    zero = (
         du * 0.0 + dtheta * 0.0 + dq * 0.0 + z_atm * 0.0 + z_0m * 0.0
         + z_0s * 0.0 + theta_scale * 0.0
     )
@@ -200,26 +218,43 @@ def surface_conditions(
         q_star = kappa * dq / denom_s
         return u_star, theta_star, q_star
 
-    def body(i, carry):
-        Linv, _ = carry
+    eps_vi = param_set.molmass_ratio - 1.0  # ~0.608
+
+    def f(Linv):
         u_star, theta_star, q_star = stars(Linv)
         # virtual potential temperature scale (moisture buoyancy included)
-        eps_vi = param_set.molmass_ratio - 1.0  # ~0.608
-        theta_v_star = theta_star * (1.0 + eps_vi * q_atm) + eps_vi * theta_scale * q_star
+        theta_v_star = (
+            theta_star * (1.0 + eps_vi * q_atm) + eps_vi * theta_scale * q_star
+        )
         u_star_safe = jnp.maximum(u_star, 1e-6)
-        Linv_new = kappa * g * theta_v_star / (u_star_safe**2 * theta_scale)
-        # damped update for robustness near neutrality
-        Linv_next = 0.5 * Linv + 0.5 * Linv_new
-        delta = jnp.abs(Linv_next - Linv)
-        return (Linv_next, delta)
+        return Linv - kappa * g * theta_v_star / (u_star_safe**2 * theta_scale)
 
-    Linv, delta = jax.lax.fori_loop(0, _N_ITER, body, (Linv0, jnp.zeros_like(Linv0)))
+    lo = zero - _ZETA_BRACKET / z_atm
+    hi = zero + _ZETA_BRACKET / z_atm
+    f_lo = f(lo)
+
+    def body(i, carry):
+        lo, hi, f_lo = carry
+        mid = 0.5 * (lo + hi)
+        f_mid = f(mid)
+        same_side = f_mid * f_lo > 0.0  # mid is on lo's side of the root
+        lo_next = jnp.where(same_side, mid, lo)
+        f_lo_next = jnp.where(same_side, f_mid, f_lo)
+        hi_next = jnp.where(same_side, hi, mid)
+        return (lo_next, hi_next, f_lo_next)
+
+    lo, hi, _ = jax.lax.fori_loop(0, _N_ITER, body, (lo, hi, f_lo))
+    Linv = 0.5 * (lo + hi)
+    delta = 0.5 * (hi - lo)
     u_star, theta_star, q_star = stars(Linv)
     L = jnp.where(jnp.abs(Linv) > 1e-30, 1.0 / Linv, jnp.inf)
+    # convergence monitor: half-bracket width AND the consistency-equation
+    # defect — in the decoupling regime bisection collapses onto a bracket
+    # edge with a tiny width but a large defect, and the defect flags it
     return {
         "x_star": (u_star, theta_star, q_star),
         "L_mo": L,
-        "residual": delta,
+        "residual": jnp.maximum(jnp.abs(delta), jnp.abs(f(Linv))),
     }
 
 
