@@ -44,9 +44,10 @@ class AdaptiveConfig:
     max_growth: float = 4.0
     max_shrink: float = 0.1
     #: PI (Gustafsson) exponents: the step-doubling estimate of an order-p
-    #: stepper is order p+1, hence /4 for SSPRK33
-    k_p: float = 0.7 / 4.0
-    k_i: float = 0.4 / 4.0
+    #: stepper is order p+1, hence 0.7/(p+1), 0.4/(p+1); ``None`` derives
+    #: them from the stepper's ``order`` attribute at run time
+    k_p: float | None = None
+    k_i: float | None = None
     #: hard iteration cap — guarantees while_loop termination even under
     #: persistent rejection (NaN error) or dt-below-time-ulp stagnation
     max_steps: int = 10_000_000
@@ -74,6 +75,12 @@ def run_adaptive(
     t0 = jnp.asarray(t0, dtype=dtype)
     tf = jnp.asarray(tf, dtype=dtype)
     dt0 = jnp.asarray(dt0, dtype=dtype)
+
+    # PI exponents from the stepper's formal order unless pinned by config
+    p1 = float(getattr(stepper, "order", 3)) + 1.0
+    k_p = config.k_p if config.k_p is not None else 0.7 / p1
+    k_i = config.k_i if config.k_i is not None else 0.4 / p1
+    config = dataclasses.replace(config, k_p=k_p, k_i=k_i)
 
     def err_norm(Y1, Y2, Yref):
         def leaf(a, b, r):

@@ -40,6 +40,9 @@ class AbstractTimestepper:
 
     #: number of rhs evaluations per step
     stages: int = 1
+    #: formal temporal order of accuracy (drives the adaptive controller's
+    #: PI exponents)
+    order: int = 1
     #: True for implicit steppers with no CFL restriction (suppresses the
     #: Simulation construction-time CFL warning)
     unconditionally_stable: bool = False
@@ -53,6 +56,7 @@ class ForwardEuler(AbstractTimestepper):
     """1st-order explicit Euler."""
 
     stages = 1
+    order = 1
 
     def step(self, rhs, Y, Ya, t, dt):
         return _axpy(dt, rhs(Y, Ya, t), Y)
@@ -63,6 +67,7 @@ class SSPRK22(AbstractTimestepper):
     """2nd-order, 2-stage SSP RK (Heun)."""
 
     stages = 2
+    order = 2
 
     def step(self, rhs, Y, Ya, t, dt):
         u1 = _axpy(dt, rhs(Y, Ya, t), Y)
@@ -76,6 +81,7 @@ class SSPRK33(AbstractTimestepper):
     integrator (``test/SoilModel/richards_equation.jl:62`` etc.)."""
 
     stages = 3
+    order = 3
 
     def step(self, rhs, Y, Ya, t, dt):
         u1 = _axpy(dt, rhs(Y, Ya, t), Y)
@@ -94,6 +100,7 @@ class SSPRK104(AbstractTimestepper):
     verified numerically in ``tests/test_timestepping_order.py``."""
 
     stages = 10
+    order = 4
 
     def step(self, rhs, Y, Ya, t, dt):
         sixth = dt / 6.0
