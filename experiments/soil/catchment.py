@@ -42,6 +42,12 @@ def main():
     p.add_argument("--hours", type=float, default=2.0)
     p.add_argument("--dt", type=float, default=2.0)
     p.add_argument("--storm-mm-h", type=float, default=40.0)  # peak intensity
+    p.add_argument(
+        "--atmos",
+        action="store_true",
+        help="MOST atmospheric forcing at the surface (coupled energy + "
+        "evaporation from pond and bare soil) instead of prescribed T",
+    )
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--plot", action="store_true")
     p.add_argument("--out", type=str, default=None)
@@ -102,19 +108,32 @@ def main():
         theta_r=0.05,
     )
 
+    if args.atmos:
+        from landhydrology_tpu import PrescribedAtmosForcing, SoilEnergyModel
+
+        energy_model = SoilEnergyModel()
+        top_bc = PrescribedAtmosForcing(
+            u_atm=2.0, theta_atm=300.0, z_atm=2.0, theta_scale=300.0,
+            rho_a_sfc=1.2, q_atm=0.006,
+        )
+        bottom_bc = SoilComponentBC(
+            hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+        )
+    else:
+        energy_model = PrescribedTemperatureModel()
+        top_bc = SoilComponentBC(hydrology=VerticalFlux(0.0))
+        bottom_bc = SoilComponentBC(hydrology=VerticalFlux(0.0))  # bedrock
+
     soil = SoilModel(
         domain=VariableDepthColumn(
             z_bottom=jnp.asarray(-depth, dtype=dtype),
             nelements=nz,
             batch_shape=(nx, ny),
         ),
-        energy_model=PrescribedTemperatureModel(),
+        energy_model=energy_model,
         hydrology_model=SoilHydrologyModel(hydraulic_model=hm),
-        boundary_conditions=SoilColumnBC(
-            top=SoilComponentBC(hydrology=VerticalFlux(0.0)),
-            bottom=SoilComponentBC(hydrology=VerticalFlux(0.0)),  # bedrock
-        ),
-        soil_param_set=SoilParams(nu=0.42, S_s=1e-3),
+        boundary_conditions=SoilColumnBC(top=top_bc, bottom=bottom_bc),
+        soil_param_set=SoilParams(nu=0.42, S_s=1e-3, rho_c_ds=1.3e6),
         dtype=dtype,
     )
 
@@ -141,10 +160,24 @@ def main():
     )
 
     def ic(z, m):
-        return {
+        out = {
             "vartheta_l": jnp.full((nz, nx, ny), 0.15, dtype=dtype),
             "theta_i": jnp.zeros((nz, nx, ny), dtype=dtype),
         }
+        if args.atmos:
+            from landhydrology_tpu.constants import default_earth_param_set as ps
+            from landhydrology_tpu.models.soil.heat import (
+                volumetric_heat_capacity,
+                volumetric_internal_energy,
+            )
+
+            rcs = volumetric_heat_capacity(
+                out["vartheta_l"], out["theta_i"], 1.3e6, ps
+            )
+            out["rho_e_int"] = volumetric_internal_energy(
+                out["theta_i"], rcs, jnp.full((nz, nx, ny), 292.0, dtype=dtype), ps
+            )
+        return out
 
     Y, Ya = initialize_states(land, ic, 0.0)
     sim = Simulation(
@@ -179,7 +212,37 @@ def main():
         P_peak * sig * math.sqrt(math.pi) * nx * ny * args.dx**2
     )  # analytic Gaussian integral (t_c +- many sig inside the run)
     stored = soil_gain.sum() + hf.sum() * args.dx**2
-    closure = abs(stored - rain_total) / rain_total
+    evap_total = 0.0
+    if args.atmos:
+        # trapezoidal quadrature of the diagnosed evaporation over the
+        # saved trajectory (MOST evaporation leaves the budget); coarse but
+        # closes the storm balance to the save-interval resolution
+        from landhydrology_tpu.domains import make_function_space
+        from landhydrology_tpu.models.land import (
+            _diagnose_state_T,
+            surface_exchange,
+        )
+
+        grid_d = make_function_space(soil.domain, dtype)
+        e_rates = []
+        for k in range(len(sol)):
+            Yk = sol.state(k)
+            X = {
+                "vartheta_l": Yk["soil"]["vartheta_l"],
+                "theta_i": Yk["soil"]["theta_i"],
+                "T": _diagnose_state_T(soil, Yk["soil"], Ya),
+            }
+            ex = surface_exchange(
+                land, grid_d, X, Yk["surface"]["h_s"], float(sol.ts[k])
+            )
+            e_rates.append(
+                float(jnp.sum(ex["evap_soil"] + ex["evap_pond"]))
+            )
+        e_rates = np.asarray(e_rates)
+        evap_total = float(
+            np.trapezoid(e_rates, np.asarray(sol.ts)) * args.dx**2
+        )
+    closure = abs(stored + evap_total - rain_total) / rain_total
 
     valley = z_norm < 0.2
     ridge = z_norm > 0.8
@@ -201,6 +264,8 @@ def main():
             float(soil_gain[valley].mean() / args.dx**2),
             float(soil_gain[ridge].mean() / args.dx**2),
         ],
+        "atmos_forcing": bool(args.atmos),
+        "evaporation_total_m3": float(evap_total),
         "mass_closure_rel_residual": float(closure),
         # routing stability margin at peak ponding (dt must stay below it)
         "kinematic_dt_limit_at_peak_s": float(

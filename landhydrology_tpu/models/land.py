@@ -190,6 +190,13 @@ class SurfaceWaterModel(AbstractModel):
     rate here, unlike the negative downward ``VerticalFlux`` convention);
     ``tau_pond`` (s) is the pond-to-soil supply timescale; ``runoff``
     optionally routes pond excess laterally (requires a 2-D column grid).
+
+    ``h_evap_smoothing`` (m) regularizes the pond/bare-soil evaporation
+    switch under MOST forcing: the pond fraction is
+    ``w = clip(h_s / h_evap_smoothing, 0, 1)``, so evaporation blends from
+    the bare-soil rate to the potential (saturated-surface) rate as the
+    pond deepens and shuts off smoothly as it empties (keeps the rhs
+    Lipschitz for the explicit steppers and AD).
     """
 
     precipitation: Callable[[Array], Array] = _zero_precip
@@ -197,6 +204,7 @@ class SurfaceWaterModel(AbstractModel):
     #: lateral pond routing: RunoffRouting (head diffusion) or
     #: KinematicWaveRouting (Manning flow over topography)
     runoff: Optional[Any] = None
+    h_evap_smoothing: Array = 1e-4
     name: str = "surface"
 
 
@@ -211,21 +219,27 @@ class LandModel(AbstractModel):
     name: str = "land"
 
     def __post_init__(self):
+        from landhydrology_tpu.models.soil.boundary import PrescribedAtmosForcing
+        from landhydrology_tpu.models.soil.model import SoilEnergyModel
+
         if not isinstance(self.soil.hydrology_model, SoilHydrologyModel):
             raise TypeError(
                 "LandModel surface coupling requires a dynamic soil "
                 "hydrology model"
             )
         bc = self.soil.boundary_conditions
-        if bc is not None and not hasattr(bc.top, "energy"):
-            # e.g. PrescribedAtmosForcing: the pond coupling replaces the
-            # top hydrology BC and would silently drop MOST evaporation and
-            # heat flux — refuse rather than run wrong physics
-            raise TypeError(
-                "LandModel replaces the soil's top hydrology BC with the "
-                "pond infiltration flux; a PrescribedAtmosForcing top face "
-                "cannot be combined with it yet — use a SoilComponentBC top"
-            )
+        if bc is not None and isinstance(bc.top, PrescribedAtmosForcing):
+            # pond + MOST composition: evaporation/heat flux from the MOST
+            # solve combine with rain/infiltration (see make_rhs); the MOST
+            # solve needs the surface temperature, i.e. a dynamic energy
+            # component (the reference likewise raises for prescribed
+            # components, test_prescribed_atmos_bc.jl:161-184)
+            if not isinstance(self.soil.energy_model, SoilEnergyModel):
+                raise TypeError(
+                    "LandModel with a PrescribedAtmosForcing top face needs "
+                    "a dynamic SoilEnergyModel (MOST fluxes require the "
+                    "soil surface temperature)"
+                )
 
     @property
     def float_dtype(self):
@@ -252,6 +266,109 @@ def potential_infiltration(soil: SoilModel, grid: ColumnGrid, X: dict, t) -> Arr
     return jnp.maximum(-flux_up, 0.0)
 
 
+def _diagnose_state_T(soil: SoilModel, Y_soil: dict, Ya: dict) -> Array:
+    """Column temperature for the surface-exchange closures: the prescribed
+    profile when present, else diagnosed from the dynamic energy state
+    (replaces the former hard-coded 288 K fallback for coupled-energy
+    soils)."""
+    name = soil.name
+    vartheta_l = Y_soil["vartheta_l"]
+    theta_i = Y_soil["theta_i"]
+    if "T" in Ya.get(name, {}):
+        return jnp.broadcast_to(Ya[name]["T"], vartheta_l.shape)
+    if "rho_e_int" in Y_soil:
+        from landhydrology_tpu.models.soil import heat as sh
+        from landhydrology_tpu.models.soil import water as sw
+
+        sp = soil.soil_param_set
+        nu_eff = sp.nu - theta_i
+        theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+        rho_c_s = sh.volumetric_heat_capacity(
+            theta_l, theta_i, sp.rho_c_ds, soil.earth_param_set
+        )
+        return sh.temperature_from_rho_e_int(
+            Y_soil["rho_e_int"], theta_i, rho_c_s, soil.earth_param_set
+        )
+    # prescribed temperature with no aux field: the model default (288 K)
+    return jnp.full_like(vartheta_l, 288.0)
+
+
+def surface_exchange(land: LandModel, grid: ColumnGrid, X: dict, h_s, t) -> dict:
+    """All water/energy exchange rates at the land surface for a given soil
+    surface state ``X = {vartheta_l, theta_i, T}`` (full-column fields):
+
+    - ``infiltration``: pond/rain supply into the soil, capacity-limited
+      (m/s, downward positive);
+    - ``evap_soil`` / ``evap_pond``: effective upward water-volume fluxes
+      (m/s) leaving the bare-soil fraction / the pond under MOST forcing
+      (zero without a PrescribedAtmosForcing top face).  The pond fraction
+      ``w = clip(h_s/h_evap_smoothing, 0, 1)`` blends them: the pond
+      evaporates at the potential (saturated-surface) rate while ``h_s>0``,
+      bare soil at its moisture-limited rate;
+    - ``heat_flux``: upward surface energy flux (W/m^2) for the soil energy
+      BC, blended the same way (pond assumed at the soil surface T).
+
+    This is the single source of truth for the coupling — the rhs and the
+    conservation tests both call it (water closure:
+    ``d/dt[column + h_s] = P - evap_soil - evap_pond - bottom outflow``).
+    """
+    from landhydrology_tpu.models.soil.boundary import PrescribedAtmosForcing
+
+    soil = land.soil
+    top_bc = soil.boundary_conditions.top
+    dtype = soil.float_dtype
+    P = jnp.asarray(land.surface.precipitation(t), dtype=dtype)
+    if not isinstance(P, jax.core.Tracer) and bool(jnp.any(P < 0)):
+        raise ValueError(
+            "SurfaceWaterModel.precipitation must return a non-negative "
+            "rainfall rate (m/s); got a negative value — do not use the "
+            "signed downward-flux convention here"
+        )
+    P = jnp.maximum(P, 0.0)
+
+    f_pot = potential_infiltration(soil, grid, X, t)
+    supply = P + jnp.maximum(h_s, 0.0) / land.surface.tau_pond
+    infiltration = jnp.minimum(supply, f_pot)
+
+    zero = jnp.zeros_like(infiltration)
+    out = {
+        "P": P,
+        "infiltration": infiltration,
+        "evap_soil": zero,
+        "evap_pond": zero,
+        "heat_flux": None,
+    }
+    if isinstance(top_bc, PrescribedAtmosForcing):
+        from landhydrology_tpu.models.soil.surface_fluxes import (
+            compute_turbulent_surface_fluxes,
+        )
+
+        top = X["vartheta_l"].shape[0] - 1
+        v_top = X["vartheta_l"][top]
+        ti_top = X["theta_i"][top]
+        T_top = X["T"][top]
+        heat_soil, E_soil = compute_turbulent_surface_fluxes(
+            soil.energy_model, soil.hydrology_model, soil,
+            v_top, ti_top, T_top, t,
+        )
+        # potential rate: saturated surface (q_surf = q_sat); the pond is
+        # assumed at the soil surface temperature
+        nu_top = jnp.broadcast_to(
+            jnp.asarray(soil.soil_param_set.nu, dtype=dtype), v_top.shape
+        )
+        heat_pond, E_pond = compute_turbulent_surface_fluxes(
+            soil.energy_model, soil.hydrology_model, soil,
+            nu_top, jnp.zeros_like(ti_top), T_top, t,
+        )
+        w = jnp.clip(
+            jnp.maximum(h_s, 0.0) / land.surface.h_evap_smoothing, 0.0, 1.0
+        )
+        out["evap_soil"] = (1.0 - w) * E_soil
+        out["evap_pond"] = w * E_pond
+        out["heat_flux"] = (1.0 - w) * heat_soil + w * heat_pond
+    return out
+
+
 def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
     """Composed tendency function over the land state
     ``{"soil": {...}, "surface": {"h_s": ...}}``."""
@@ -262,49 +379,36 @@ def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
 
     def rhs(Y: dict, Ya: dict, t: Array) -> dict:
         h_s = Y[land.surface.name]["h_s"]
-        P = jnp.asarray(land.surface.precipitation(t))
-        # precipitation is a non-negative rate by contract (see
-        # SurfaceWaterModel); catch sign-convention mistakes eagerly when
-        # the value is concrete, clamp under trace
-        if not isinstance(P, jax.core.Tracer) and bool(jnp.any(P < 0)):
-            raise ValueError(
-                "SurfaceWaterModel.precipitation must return a non-negative "
-                "rainfall rate (m/s); got a negative value — do not use the "
-                "signed downward-flux convention here"
-            )
-        P = jnp.maximum(P, 0.0)
-
         vartheta_l = Y[name]["vartheta_l"]
         theta_i = Y[name]["theta_i"]
-        # T is needed only by T-dependent closures at the face; use the
-        # prescribed/diagnosed field when present, else a neutral constant
-        if "T" in Ya.get(name, {}):
-            T = jnp.broadcast_to(Ya[name]["T"], vartheta_l.shape)
-        else:
-            T = jnp.full_like(vartheta_l, 288.0)
+        T = _diagnose_state_T(soil, Y[name], Ya)
         X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
 
-        f_pot = potential_infiltration(soil, grid, X, t)
-        supply = jnp.maximum(P, 0.0) + jnp.maximum(h_s, 0.0) / land.surface.tau_pond
-        infiltration = jnp.minimum(supply, f_pot)
+        ex = surface_exchange(land, grid, X, h_s, t)
+        infiltration = ex["infiltration"]
 
-        # soil sees the infiltration as a downward (negative) top flux; the
-        # rhs closure is rebuilt per call with the coupled flux value —
-        # closure construction is trace-time-only work
+        # soil sees the infiltration as a downward (negative) top flux plus
+        # its bare-soil evaporation (upward positive); the rhs closure is
+        # rebuilt per call with the coupled flux values — closure
+        # construction is trace-time-only work
         bc = soil.boundary_conditions
+        if ex["heat_flux"] is not None:
+            energy_bc = VerticalFlux(ex["heat_flux"])
+        else:
+            energy_bc = getattr(bc.top, "energy", VerticalFlux(0.0))
         soil_t = dataclasses.replace(
             soil,
             boundary_conditions=SoilColumnBC(
                 top=SoilComponentBC(
-                    hydrology=VerticalFlux(-infiltration),
-                    energy=getattr(bc.top, "energy", VerticalFlux(0.0)),
+                    hydrology=VerticalFlux(-infiltration + ex["evap_soil"]),
+                    energy=energy_bc,
                 ),
                 bottom=bc.bottom,
             ),
         )
         dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
 
-        dh_s = P - infiltration
+        dh_s = ex["P"] - infiltration - ex["evap_pond"]
         if land.surface.runoff is not None:
             dh_s = dh_s + routing_tendency(land.surface.runoff, h_s)
         return {

@@ -251,24 +251,32 @@ def test_runoff_routing_spreads_and_conserves():
     assert h2[0, 0] == 0.0  # nothing routed to the far field
 
 
-def test_land_model_rejects_atmos_top_and_negative_rain():
+def test_land_model_atmos_top_needs_dynamic_energy_and_rain_sign():
+    """A PrescribedAtmosForcing top face composes with the pond only when
+    the energy component is dynamic (MOST needs the surface T); prescribed
+    temperature still raises.  Negative rain raises eagerly."""
     from landhydrology_tpu import PrescribedAtmosForcing, SoilEnergyModel
     import dataclasses
 
     soil = _land(lambda t: 0.0).soil
-    soil_atmos = dataclasses.replace(
+    atmos = PrescribedAtmosForcing(
+        u_atm=0.3, theta_atm=299.0, z_atm=0.05, theta_scale=299.0,
+        rho_a_sfc=1.17, q_atm=0.01,
+    )
+    soil_prescribed_T = dataclasses.replace(
         soil,
-        energy_model=SoilEnergyModel(),
         boundary_conditions=dataclasses.replace(
-            soil.boundary_conditions,
-            top=PrescribedAtmosForcing(
-                u_atm=0.3, theta_atm=299.0, z_atm=0.05, theta_scale=299.0,
-                rho_a_sfc=1.17, q_atm=0.01,
-            ),
+            soil.boundary_conditions, top=atmos
         ),
     )
-    with pytest.raises(TypeError, match="PrescribedAtmosForcing"):
-        LandModel(soil=soil_atmos)
+    with pytest.raises(TypeError, match="SoilEnergyModel"):
+        LandModel(soil=soil_prescribed_T)
+
+    # with a dynamic energy model the composition is allowed
+    soil_atmos = dataclasses.replace(
+        soil_prescribed_T, energy_model=SoilEnergyModel()
+    )
+    LandModel(soil=soil_atmos)
 
     land = _land(lambda t: -1e-6)  # wrong sign convention
     Y, Ya = initialize_states(land, _ic, 0.0)
@@ -461,3 +469,180 @@ def test_kinematic_wave_dt_limit_flags_unstable_config():
     assert 0.1 < lim < 5.0
     # dry grid: no wave, no limit
     assert float(kinematic_wave_dt_limit(ro, jnp.zeros((8, 8)))) > 1e20
+
+
+# ---------------------------------------------------------------------------
+# Pond + MOST composition (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _atmos_land(precip, tau=60.0, h_smooth=1e-4, Ksat=1e-6):
+    """Coupled-energy soil with MOST forcing at the top, composed with the
+    pond (the flagship rain + ponding + evaporation + energy config)."""
+    import dataclasses
+
+    from landhydrology_tpu import PrescribedAtmosForcing, SoilEnergyModel
+
+    soil = _land(lambda t: 0.0, Ksat=Ksat).soil
+    soil = dataclasses.replace(
+        soil,
+        energy_model=SoilEnergyModel(),
+        boundary_conditions=SoilColumnBC(
+            top=PrescribedAtmosForcing(
+                u_atm=2.0, theta_atm=300.0, z_atm=2.0, theta_scale=300.0,
+                rho_a_sfc=1.2, q_atm=0.005,
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=dataclasses.replace(
+            soil.soil_param_set, rho_c_ds=1.3e6
+        ),
+    )
+    return LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=precip, tau_pond=tau, h_evap_smoothing=h_smooth
+        ),
+    )
+
+
+def _ic_energy(z, m):
+    from landhydrology_tpu.constants import default_earth_param_set as ps
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+
+    th = jnp.full_like(z, 0.25)
+    ti = jnp.zeros_like(z)
+    T = jnp.full_like(z, 292.0)
+    rcs = volumetric_heat_capacity(th, ti, 1.3e6, ps)
+    return {
+        "vartheta_l": th,
+        "theta_i": ti,
+        "rho_e_int": volumetric_internal_energy(ti, rcs, T, ps),
+    }
+
+
+def test_atmos_land_matches_plain_soil_when_dry():
+    """With no rain and no pond the composed rhs reduces exactly to the
+    plain soil model under its own PrescribedAtmosForcing BC (MOST
+    evaporation + heat flux; infiltration = 0)."""
+    from landhydrology_tpu.models.soil.rhs import make_rhs as make_soil_rhs
+
+    land = _atmos_land(lambda t: 0.0)
+    Y, Ya = initialize_states(land, _ic_energy, 0.0, h_s0=0.0)
+    dY_land = make_rhs(land)(Y, Ya, 0.0)
+    dY_soil = make_soil_rhs(land.soil)({"soil": Y["soil"]}, Ya, 0.0)
+
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(dY_land["soil"][k]), np.asarray(dY_soil["soil"][k]),
+            rtol=1e-12, atol=1e-30, err_msg=k,
+        )
+    assert float(jnp.abs(dY_land["surface"]["h_s"])) < 1e-18
+
+
+def test_rain_pond_evaporation_budget_closes():
+    """Rain pulse then drydown under MOST forcing: forward-Euler stepping
+    with the budget accumulated from surface_exchange at the same states —
+    total water (column + pond) change equals integrated
+    P - evap_soil - evap_pond to roundoff, the pond grows during rain,
+    evaporates near the potential rate while it stands, and drains after."""
+    import jax
+
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.models.land import surface_exchange, _diagnose_state_T
+    from landhydrology_tpu.timestepping import ForwardEuler
+
+    rain = 8e-6  # above the infiltration capacity of the tight soil
+    t_rain = 600.0
+
+    def precip(t):
+        return jnp.where(t < t_rain, rain, 0.0)
+
+    land = _atmos_land(precip, tau=120.0, Ksat=2e-7)
+    grid = make_function_space(land.soil.domain, land.float_dtype)
+    dz = float(grid.dz)
+    Y0, Ya = initialize_states(land, _ic_energy, 0.0, h_s0=0.0)
+    rhs = make_rhs(land)
+    stepper = ForwardEuler()
+    dt = 2.0
+
+    def total_water(Y):
+        return jnp.sum(Y["soil"]["vartheta_l"]) * dz + jnp.sum(
+            Y["surface"]["h_s"]
+        )
+
+    n_steps = 1200  # 40 min: rain for 300 steps, drydown after
+
+    @jax.jit
+    def run(Y):
+        def body(carry, _):
+            Yc, t, budget = carry
+            X = {
+                "vartheta_l": Yc["soil"]["vartheta_l"],
+                "theta_i": Yc["soil"]["theta_i"],
+                "T": _diagnose_state_T(land.soil, Yc["soil"], Ya),
+            }
+            ex = surface_exchange(land, grid, X, Yc["surface"]["h_s"], t)
+            budget = budget + dt * jnp.sum(
+                ex["P"] - ex["evap_soil"] - ex["evap_pond"]
+            )
+            Yn = stepper.step(rhs, Yc, Ya, t, jnp.asarray(dt))
+            return (Yn, t + dt, budget), Yc["surface"]["h_s"]
+
+        return jax.lax.scan(body, (Y, 0.0, 0.0), None, length=n_steps)
+
+    (Yf, tf, budget), h_trace = run(Y0)
+
+    # exact budget closure (forward Euler: one rhs eval per step at the
+    # same state the budget terms were computed from)
+    change = float(total_water(Yf) - total_water(Y0))
+    assert change == pytest.approx(float(budget), rel=1e-10, abs=1e-15)
+
+    h = np.asarray(h_trace).ravel()
+    i_rain_end = int(t_rain / dt)
+    assert h[i_rain_end - 1] > 1e-4          # pond formed during rain
+    assert abs(int(np.argmax(h)) - i_rain_end) <= 1  # deepest at rain end
+    assert h[-1] < 0.5 * h.max()             # drains + evaporates after
+    assert np.all(h >= -1e-18)
+    assert np.all(np.isfinite(np.asarray(Yf["soil"]["rho_e_int"])))
+
+
+def test_pond_evaporates_at_potential_rate():
+    """While a deep pond stands, the surface water flux is the potential
+    (saturated-surface) MOST rate, independent of how dry the soil is."""
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.models.land import surface_exchange, _diagnose_state_T
+    from landhydrology_tpu.models.soil.surface_fluxes import (
+        compute_turbulent_surface_fluxes,
+    )
+
+    land = _atmos_land(lambda t: 0.0)
+    grid = make_function_space(land.soil.domain, land.float_dtype)
+    Y, Ya = initialize_states(land, _ic_energy, 0.0, h_s0=0.05)  # deep pond
+
+    X = {
+        "vartheta_l": Y["soil"]["vartheta_l"] * 0.0 + 0.08,  # very dry soil
+        "theta_i": Y["soil"]["theta_i"],
+        "T": _diagnose_state_T(land.soil, Y["soil"], Ya),
+    }
+    ex = surface_exchange(land, grid, X, Y["surface"]["h_s"], 0.0)
+    # potential rate: MOST at a saturated surface
+    top = X["vartheta_l"].shape[0] - 1
+    _, E_pot = compute_turbulent_surface_fluxes(
+        land.soil.energy_model, land.soil.hydrology_model, land.soil,
+        jnp.asarray(land.soil.soil_param_set.nu), jnp.asarray(0.0),
+        X["T"][top], 0.0,
+    )
+    assert float(ex["evap_pond"]) == pytest.approx(float(E_pot), rel=1e-12)
+    assert float(ex["evap_soil"]) == 0.0  # bare-soil fraction is zero
+    # and the potential rate exceeds what the dry soil alone could evaporate
+    _, E_dry = compute_turbulent_surface_fluxes(
+        land.soil.energy_model, land.soil.hydrology_model, land.soil,
+        X["vartheta_l"][top], X["theta_i"][top], X["T"][top], 0.0,
+    )
+    assert float(E_pot) > float(E_dry)
