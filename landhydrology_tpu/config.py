@@ -32,7 +32,10 @@ from landhydrology_tpu.models.soil.boundary import (
     SoilComponentBC,
     VerticalFlux,
 )
-from landhydrology_tpu.models.soil.freeze_thaw import FreezeThaw
+from landhydrology_tpu.models.soil.freeze_thaw import (
+    EquilibriumFreezeThaw,
+    FreezeThaw,
+)
 from landhydrology_tpu.models.soil.model import (
     LateralSurfaceCoupling,
     PrescribedHydrologyModel,
@@ -67,6 +70,7 @@ _REGISTRY = {
         SoilModel,
         LateralSurfaceCoupling,
         FreezeThaw,
+        EquilibriumFreezeThaw,
         NoBC,
         VerticalFlux,
         Dirichlet,

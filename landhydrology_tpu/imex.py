@@ -407,9 +407,17 @@ class TRBDF2Soil(AbstractTimestepper):
                      water: bool, heat: bool) -> dict:
         """Solve the stage equation ``u = c + w f(u)`` by Gauss-Seidel
         sweeps of the per-variable Newton updates."""
+        from landhydrology_tpu.models.soil.freeze_thaw import (
+            EquilibriumFreezeThaw,
+        )
+
         model, grid = self.model, self.grid
         name = model.name
-        has_ft = model.freeze_thaw is not None
+        # relaxation freeze-thaw rides the rhs as a rate source; the
+        # equilibrium variant projects after the step (PhaseEquilibriumStepper)
+        has_ft = model.freeze_thaw is not None and not isinstance(
+            model.freeze_thaw, EquilibriumFreezeThaw
+        )
 
         def sweep(st, _):
             if water:

@@ -352,9 +352,18 @@ def _make_rhs_soil(energy, hydrology, model: SoilModel, grid: ColumnGrid):
                 dz,
             )
             # freeze-thaw phase change (TPU-build extension; the reference
-            # zeroes d theta_i — right_hand_side.jl:359)
+            # zeroes d theta_i — right_hand_side.jl:359).  The relaxation
+            # scheme contributes rate sources here; EquilibriumFreezeThaw
+            # contributes nothing to the rhs — its exact projection runs
+            # after each step (freeze_thaw.PhaseEquilibriumStepper).
             d_theta_i = jnp.zeros_like(theta_i)
-            if model.freeze_thaw is not None:
+            from landhydrology_tpu.models.soil.freeze_thaw import (
+                EquilibriumFreezeThaw as _EqFT,
+            )
+
+            if model.freeze_thaw is not None and not isinstance(
+                model.freeze_thaw, _EqFT
+            ):
                 from landhydrology_tpu.models.soil.freeze_thaw import (
                     phase_change_sources,
                 )

@@ -180,6 +180,20 @@ def make_fused_column_run(
             else grid_lit
         )
         rhs = make_rhs(model_tile, grid_k)
+
+        # steppers that close over the model/grid (PhaseEquilibriumStepper's
+        # projection, the imex tridiagonal solvers) must see the tile-local
+        # parameter slices and the literal kernel grid
+        def _rebind(st):
+            if hasattr(st, "inner"):
+                st = dataclasses.replace(st, inner=_rebind(st.inner))
+            if hasattr(st, "model"):
+                st = dataclasses.replace(st, model=model_tile)
+            if hasattr(st, "grid"):
+                st = dataclasses.replace(st, grid=grid_k)
+            return st
+
+        stepper_k = _rebind(stepper)
         Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
         # prescribed aux fields are recomputed from their (z, t) profiles by
         # the rhs's update_aux, entirely inside the kernel
@@ -188,7 +202,7 @@ def make_fused_column_run(
 
         def body(i, Y):
             t = t0 + i.astype(dtype) * dt_c
-            return stepper.step(rhs, Y, Ya, t, jnp.asarray(dt_c, dtype=dtype))
+            return stepper_k.step(rhs, Y, Ya, t, jnp.asarray(dt_c, dtype=dtype))
 
         Yf = jax.lax.fori_loop(0, steps_per_call, body, Y)
         for k, r in zip(state_vars, out_refs):

@@ -182,6 +182,19 @@ def make_sharded_step(
         )
         model_shard = _model_for_shard(list(local_arrays))
         rhs_local = make_rhs(model_shard, grid_shard)
+
+        # steppers that close over the model/grid (PhaseEquilibriumStepper,
+        # imex) must see the shard-local parameter slices
+        def _rebind(st):
+            if hasattr(st, "inner"):
+                st = dataclasses.replace(st, inner=_rebind(st.inner))
+            if hasattr(st, "model"):
+                st = dataclasses.replace(st, model=model_shard)
+            if hasattr(st, "grid"):
+                st = dataclasses.replace(st, grid=grid_shard)
+            return st
+
+        stepper_local = _rebind(stepper)
         sp = model_shard.soil_param_set
         hm = (
             model_shard.hydrology_model.hydraulic_model
@@ -208,7 +221,7 @@ def make_sharded_step(
                 dY = {**dY, name: {**dY[name], "vartheta_l": d}}
             return dY
 
-        Y2 = stepper.step(rhs, Y, Ya, t, dt_a)
+        Y2 = stepper_local.step(rhs, Y, Ya, t, dt_a)
         return Y2, t + dt_a
 
     def specs_for(tree):

@@ -94,6 +94,15 @@ class Simulation:
                 soil_like, jnp.asarray(tspan[0], dtype=model.float_dtype), grid0.zc
             )
         self.model = model
+        # EquilibriumFreezeThaw models project onto phase equilibrium after
+        # every step: wrap any stepper transparently (idempotent no-op for
+        # other configs)
+        if getattr(model, "freeze_thaw", None) is not None:
+            from landhydrology_tpu.models.soil.freeze_thaw import (
+                wrap_stepper_with_projection,
+            )
+
+            stepper = wrap_stepper_with_projection(stepper, model)
         self.stepper = stepper
         self.dt = float(dt)
         self.tspan = (float(tspan[0]), float(tspan[1]))

@@ -263,3 +263,255 @@ def test_stefan_front_matches_analytic():
     # sqrt(t) scaling between day 2 and day 4 (within discretization)
     r = fronts[-1][1] / fronts[0][1]
     assert abs(r - math.sqrt(fronts[-1][0] / fronts[0][0])) < 0.12
+
+
+# ---------------------------------------------------------------------------
+# Equilibrium (tau -> 0) freeze-thaw (VERDICT r1 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_equilibrium_projection_conserves_and_partitions():
+    """The per-cell equilibrium projection conserves water mass and
+    rho_e_int exactly and lands on the phase-equilibrium manifold:
+    supercooled liquid partially freezes with T pinned just below T_0 at
+    theta_l = theta_l_max(T); warm icy cells melt completely."""
+    import dataclasses
+
+    from landhydrology_tpu.models.soil.freeze_thaw import (
+        EquilibriumFreezeThaw,
+        equilibrium_phase_projection,
+    )
+
+    model = dataclasses.replace(
+        _freeze_model(None), freeze_thaw=EquilibriumFreezeThaw()
+    )
+    # cells: supercooled liquid / warm with ice / unfrozen warm / very cold
+    theta_l = jnp.asarray([[0.30], [0.20], [0.30], [0.30]])
+    theta_i = jnp.asarray([[0.00], [0.10], [0.00], [0.00]])
+    T = jnp.asarray([[271.0], [276.0], [285.0], [250.0]])
+    rcs = volumetric_heat_capacity(theta_l, theta_i, 1.2e6, ps)
+    Y = {
+        "soil": {
+            "vartheta_l": theta_l,
+            "theta_i": theta_i,
+            "rho_e_int": volumetric_internal_energy(theta_i, rcs, T, ps),
+        }
+    }
+    Y2 = equilibrium_phase_projection(model, Y)
+    v2 = np.asarray(Y2["soil"]["vartheta_l"]).ravel()
+    i2 = np.asarray(Y2["soil"]["theta_i"]).ravel()
+    e2 = np.asarray(Y2["soil"]["rho_e_int"])
+
+    r = ps.rho_cloud_ice / ps.rho_cloud_liq
+    mass0 = np.asarray(theta_l + r * theta_i).ravel()
+    np.testing.assert_allclose(v2 + r * i2, mass0, rtol=1e-12)
+    np.testing.assert_allclose(e2, np.asarray(Y["soil"]["rho_e_int"]), rtol=1e-15)
+
+    rcs2 = volumetric_heat_capacity(
+        np.minimum(v2, NU - i2), i2, 1.2e6, ps
+    )
+    T2 = np.asarray(
+        temperature_from_rho_e_int(e2.ravel(), i2, np.asarray(rcs2), ps)
+    )
+    # supercooled cell froze partially, T pulled up to (just below) T_0
+    assert i2[0] > 1e-3 and 271.0 < T2[0] <= ps.T_0 + 1e-9
+    # warm icy cell: sensible heat above T_0 melts only part of the ice
+    # (0.1 ice needs ~3e7 J/m^3; 2.85 K of sensible is ~6e6), so equilibrium
+    # is partial melt with T pinned at the depression curve just below T_0
+    assert 0.0 < i2[1] < 0.1 and abs(T2[1] - ps.T_0) < 0.01
+    # unfrozen warm cell untouched
+    assert i2[2] < 1e-12 and abs(T2[2] - 285.0) < 1e-9
+    # very cold cell froze hard; liquid sits on the depression curve
+    assert i2[3] > 0.15
+    tlm = float(equilibrium_unfrozen_liquid(HM, jnp.asarray(T2[3]), NU, ps))
+    np.testing.assert_allclose(v2[3], tlm, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_equilibrium_stefan_front_under_2pct_and_dt_independent():
+    """North-star config 3 at the stiff limit: the equilibrium projection
+    tracks the one-phase Stefan solution to <2% (sub-cell interpolated
+    front) with **dt-independent** results (dt=40 vs dt=20 bitwise-close),
+    where the relaxation scheme needed tau tuning and sat at 2-8%."""
+    import math
+
+    from landhydrology_tpu.models.soil.freeze_thaw import EquilibriumFreezeThaw
+    from landhydrology_tpu.models.soil.heat import (
+        k_dry,
+        ksat_frozen,
+        ksat_unfrozen,
+        saturated_thermal_conductivity,
+        thermal_conductivity,
+    )
+
+    theta0, nu, rho_c_ds, ks = 0.3, 0.4, 1.2e6, 2.0
+    ksf = ksat_frozen(ks, nu, 2.29)
+    ksu = ksat_unfrozen(ks, nu, 0.57)
+    T_s, T0 = 263.16, ps.T_0
+    hm_sharp = vanGenuchten(n=3.0, alpha=10.0, Ksat=0.0, theta_r=0.0)
+    msp = SoilParams(
+        nu=nu, S_s=1e-3, nu_ss_quartz=0.6, rho_c_ds=rho_c_ds,
+        kappa_solid=ks, kappa_sat_unfrozen=ksu, kappa_sat_frozen=ksf,
+    )
+
+    def run(dt):
+        model = SoilModel(
+            domain=Column(zlim=(-2.0, 0.0), nelements=200),
+            energy_model=SoilEnergyModel(),
+            hydrology_model=SoilHydrologyModel(hydraulic_model=hm_sharp),
+            boundary_conditions=SoilColumnBC(
+                top=SoilComponentBC(
+                    hydrology=VerticalFlux(0.0), energy=Dirichlet(lambda t: T_s)
+                ),
+                bottom=SoilComponentBC(
+                    hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+                ),
+            ),
+            soil_param_set=msp,
+            freeze_thaw=EquilibriumFreezeThaw(),
+        )
+
+        def ic(z, m):
+            th = jnp.full_like(z, theta0)
+            ti = jnp.zeros_like(z)
+            rcs = volumetric_heat_capacity(th, ti, rho_c_ds, ps)
+            return {
+                "vartheta_l": th,
+                "theta_i": ti,
+                "rho_e_int": volumetric_internal_energy(
+                    ti, rcs, jnp.full_like(z, T0), ps
+                ),
+            }
+
+        Y, Ya = initialize_states(model, ic, 0.0)
+        sim = Simulation(
+            model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=dt,
+            tspan=(0.0, 4.0 * 86400.0), saveat=86400.0,
+        )
+        return sim.run(), np.asarray(Ya["zc"]).ravel()
+
+    theta_i_final = (ps.rho_cloud_liq / ps.rho_cloud_ice) * theta0
+    C_f = float(volumetric_heat_capacity(0.0, theta_i_final, rho_c_ds, ps))
+    Ke = theta_i_final / nu
+    kap_f = float(
+        thermal_conductivity(
+            k_dry(ps, msp), Ke,
+            saturated_thermal_conductivity(0.0, theta_i_final, ksu, ksf),
+        )
+    )
+    alpha_f = kap_f / C_f
+    Ste = C_f * (T0 - T_s) / (theta0 * ps.rho_cloud_liq * ps.LH_f0)
+    target = Ste / math.sqrt(math.pi)
+    lo, hi = 1e-4, 2.0
+    for _ in range(200):
+        lam = 0.5 * (lo + hi)
+        if lam * math.exp(lam * lam) * math.erf(lam) < target:
+            lo = lam
+        else:
+            hi = lam
+
+    def fronts(sol, z):
+        out = []
+        for k in range(1, len(sol)):
+            r = np.asarray(sol.state(k)["soil"]["theta_i"]) / theta_i_final
+            i = int(np.where(r >= 0.5)[0].min())
+            if i > 0 and r[i] != r[i - 1]:
+                f = (0.5 - r[i - 1]) / (r[i] - r[i - 1])
+                zf = z[i - 1] + f * (z[i] - z[i - 1])
+            else:
+                zf = z[i]
+            out.append((-zf, 2.0 * lam * math.sqrt(alpha_f * float(sol.ts[k]))))
+        return out
+
+    sol40, z = run(40.0)
+    f40 = fronts(sol40, z)
+    for sim_front, ana_front in f40:
+        assert 0.98 < sim_front / ana_front < 1.02, (sim_front, ana_front)
+
+    sol20, _ = run(20.0)
+    f20 = fronts(sol20, z)
+    # dt-independence: the projection depends only on the conserved
+    # (mass, energy) pair, so halving dt leaves the front unchanged to the
+    # time-integration error of the (smooth) conduction alone
+    for (a, _), (b, _) in zip(f40, f20):
+        assert abs(a - b) / a < 5e-3, (a, b)
+
+
+def test_equilibrium_through_pallas_kernel_and_trbdf2():
+    """The projection composes with the fused Pallas kernel (wrapper model
+    rebinds to tile slices) and with the implicit steppers: all three
+    engines freeze a supercooled batch to the same equilibrium."""
+    import dataclasses
+
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.imex import TRBDF2Soil
+    from landhydrology_tpu.models.soil.freeze_thaw import (
+        EquilibriumFreezeThaw,
+        wrap_stepper_with_projection,
+    )
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+
+    ncol = 8
+    model = dataclasses.replace(
+        _freeze_model(None),
+        domain=Column(zlim=(-1.0, 0.0), nelements=16, batch_shape=(ncol,)),
+        freeze_thaw=EquilibriumFreezeThaw(),
+    )
+
+    def ic(z, m):
+        shape = (16, ncol)
+        theta = jnp.full(shape, 0.3)
+        theta_i = jnp.zeros(shape)
+        T = jnp.broadcast_to(
+            270.0 + jnp.linspace(0.0, 2.0, ncol)[None, :], shape
+        )
+        rcs = volumetric_heat_capacity(theta, theta_i, 1.2e6, ps)
+        return {
+            "vartheta_l": theta,
+            "theta_i": theta_i,
+            "rho_e_int": volumetric_internal_energy(theta_i, rcs, T, ps),
+        }
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+    dt, n_steps = 50.0, 8
+
+    # XLA explicit reference
+    sim_x = Simulation(
+        model, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=dt,
+        tspan=(0.0, dt * n_steps),
+    )
+    sim_x.run()
+
+    # fused Pallas kernel (interpret on CPU)
+    stepper = wrap_stepper_with_projection(SSPRK33(), model)
+    fused = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n_steps, tile_cols=ncol,
+        interpret=True,
+    )
+    Yp = fused(Y, jnp.asarray(0.0))
+
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]), np.asarray(sim_x.Y["soil"][k]),
+            rtol=1e-10, atol=1e-18, err_msg=f"pallas:{k}",
+        )
+
+    # TR-BDF2 implicit path (Simulation auto-wraps the projection)
+    grid = make_function_space(model.domain, jnp.float64)
+    sim_i = Simulation(
+        model, TRBDF2Soil(model=model, grid=grid, iters=3),
+        Y_init=Y, Ya_init=Ya, dt=dt, tspan=(0.0, dt * n_steps),
+    )
+    sim_i.run()
+    ti_x = np.asarray(sim_x.Y["soil"]["theta_i"])
+    ti_i = np.asarray(sim_i.Y["soil"]["theta_i"])
+    assert np.all(ti_x > 1e-4) and np.all(ti_i > 1e-4)  # all cells froze some
+    np.testing.assert_allclose(ti_i, ti_x, atol=2e-3)
+    # both steppers conserve water mass exactly
+    r = ps.rho_cloud_ice / ps.rho_cloud_liq
+    m0 = float(jnp.sum(Y["soil"]["vartheta_l"] + r * Y["soil"]["theta_i"]))
+    for sim in (sim_x, sim_i):
+        mf = float(
+            jnp.sum(sim.Y["soil"]["vartheta_l"] + r * sim.Y["soil"]["theta_i"])
+        )
+        assert abs(mf - m0) / m0 < 1e-12
