@@ -68,9 +68,15 @@ class CheckpointManager:
         path = self._path(step)
         if self.use_orbax:
             ckptr = ocp.StandardCheckpointer()
+            # sharded jax.Arrays are passed through as-is: orbax writes each
+            # device's shards directly (no gather-to-host / full
+            # replication on a mesh); host leaves are materialized
+            Y_save = jax.tree_util.tree_map(
+                lambda x: x if isinstance(x, jax.Array) else np.asarray(x), Y
+            )
             ckptr.save(
                 os.path.abspath(path) + ".orbax",
-                {"Y": jax.tree_util.tree_map(np.asarray, Y), "t": float(t)},
+                {"Y": Y_save, "t": float(t)},
                 force=True,
             )
             ckptr.wait_until_finished()
@@ -104,13 +110,53 @@ class CheckpointManager:
         path = self._path(step)
         if os.path.exists(path + ".orbax"):
             ckptr = ocp.StandardCheckpointer()
+
+            def _abstract(x):
+                # sharded template leaves restore straight onto their mesh
+                # shardings (per-shard reads, no full host replication)
+                if isinstance(x, jax.Array):
+                    return jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=x.sharding
+                    )
+                return np.asarray(x)
+
             target = {
-                "Y": jax.tree_util.tree_map(np.asarray, Y_template),
+                "Y": jax.tree_util.tree_map(_abstract, Y_template),
                 "t": 0.0,
             }
-            restored = ckptr.restore(os.path.abspath(path) + ".orbax", target)
+            try:
+                restored = ckptr.restore(
+                    os.path.abspath(path) + ".orbax", target
+                )
+            except Exception:
+                # dtype-mismatched checkpoints (e.g. f64 -> f32 run): fall
+                # back to host-side restore + cast + re-placement
+                restored = ckptr.restore(
+                    os.path.abspath(path) + ".orbax",
+                    {
+                        "Y": jax.tree_util.tree_map(np.asarray, Y_template),
+                        "t": 0.0,
+                    },
+                )
+                Y = jax.tree_util.tree_map(
+                    lambda tmpl, v: (
+                        jax.device_put(
+                            np.asarray(v, dtype=tmpl.dtype), tmpl.sharding
+                        )
+                        if isinstance(tmpl, jax.Array)
+                        else jax.numpy.asarray(v, dtype=tmpl.dtype)
+                    ),
+                    Y_template,
+                    restored["Y"],
+                )
+                return Y, float(restored["t"]), step
             Y = jax.tree_util.tree_map(
-                lambda tmpl, v: jax.numpy.asarray(v, dtype=tmpl.dtype),
+                lambda tmpl, v: (
+                    v
+                    if isinstance(v, jax.Array)
+                    and v.dtype == getattr(tmpl, "dtype", None)
+                    else jax.numpy.asarray(v, dtype=tmpl.dtype)
+                ),
                 Y_template,
                 restored["Y"],
             )
