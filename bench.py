@@ -1,19 +1,29 @@
 """Benchmark: coupled soil-column grid-points/s per chip.
 
-The north-star metric (driver ``BASELINE.json``): grid-points processed per
+The north-star metric (driver ``BASELINE.json``): grid points processed per
 second on the flagship fully coupled water+energy column model.  One grid
 point = one (level, column) cell advanced one time step (SSPRK33 = 3 RHS
 sweeps per step).
 
-Two measured paths:
+Three measured paths:
 - **xla**: the straightforward jit ``lax.scan`` over SSPRK33 steps (the
   faithful reference-style implementation; the reference itself is a serial
   single-column Julia loop with no published numbers — SURVEY.md §6).
 - **pallas**: the fused multi-step VMEM-resident column kernel
   (``ops/pallas/column_kernel.py``).
+- **sharded**: the fused kernel inside shard_map on a 1-device mesh (the
+  multi-chip hot loop; measures shard_map overhead).
 
-``vs_baseline`` reports pallas throughput relative to the xla path measured
-in the same run on the same chip.
+``vs_baseline`` reports fused-pallas throughput relative to the xla path
+measured in the same run on the same chip.
+
+**Timing protocol** (see CLAUDE.md): the TPU tunnel's
+``block_until_ready`` is unreliable (can return without a device sync) and
+adds ~25 ms fixed cost when it does wait, so every rate is measured by
+**two-point differencing of jitted scalar-checksum runs** — time a run of
+``n`` and of ``4n`` steps, each forced by a ``float()`` readback of a
+checksum over ALL state components (a partial checksum lets XLA dead-code
+eliminate whole equations), and report ``rate = 3n·work / (t_hi - t_lo)``.
 
 Usage:  python bench.py            # full benchmark on the attached TPU
         python bench.py --smoke    # tiny CPU smoke (CI-sized)
@@ -106,10 +116,44 @@ def build(nz, ncol, dtype, no_ice=False):
     return model, Y, Ya
 
 
+def checksum(Y: dict):
+    """Scalar checksum over ALL state components — the forced readback that
+    defeats both the tunnel's unreliable block_until_ready and XLA's
+    dead-code elimination of unobserved equations."""
+    total = 0.0
+    for comp in Y.values():
+        for v in comp.values():
+            total = total + v.sum()
+    return total
+
+
+def time_checksum(fn, *args, reps=3):
+    """Best-of-reps wall time of a jitted scalar-returning fn, forced by
+    float() readback (4-byte device->host transfer)."""
+    out = float(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def two_point_rate(make_fn, n_lo, n_hi, work_per_n, *args, reps=3):
+    """rate = (n_hi - n_lo) * work_per_n / (t(n_hi) - t(n_lo)): cancels the
+    tunnel's fixed per-dispatch sync overhead."""
+    t_lo, _ = time_checksum(make_fn(n_lo), *args, reps=reps)
+    t_hi, _ = time_checksum(make_fn(n_hi), *args, reps=reps)
+    dt = max(t_hi - t_lo, 1e-9)
+    return (n_hi - n_lo) * work_per_n / dt, t_lo, t_hi
+
+
 def time_fn(fn, *args, reps=3):
+    """Legacy block_until_ready timing (kept for CPU paths where it is
+    reliable; do not use for TPU rates — see the module docstring)."""
     import jax
 
-    out = fn(*args)  # compile + warm
+    out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
@@ -151,6 +195,8 @@ def main():
         args.nz, args.ncol, args.steps = 16, 1024, 32
         args.steps_per_call, args.tile_cols = 8, 256
 
+    from functools import partial
+
     import jax.numpy as jnp
 
     from landhydrology_tpu.domains import make_function_space
@@ -164,12 +210,11 @@ def main():
     stepper = SSPRK33()
     rhs = make_rhs(model, grid)
     dt = jnp.asarray(args.dt, dtype=dtype)
-    n_steps = args.steps
-    points = args.nz * args.ncol * n_steps
+    points = args.nz * args.ncol
 
     # --- xla scan path ---
-    @jax.jit
-    def run_xla(Y, t0):
+    @partial(jax.jit, static_argnums=2)
+    def run_xla(Y, t0, n_steps):
         def body(carry, _):
             Y, t = carry
             return (stepper.step(rhs, Y, Ya, t, dt), t + dt), None
@@ -177,7 +222,16 @@ def main():
         (Yf, tf), _ = jax.lax.scan(body, (Y, t0), None, length=n_steps)
         return Yf
 
-    t_xla, Yx = time_fn(run_xla, Y, jnp.asarray(0.0, dtype=dtype))
+    @partial(jax.jit, static_argnums=2)
+    def run_xla_sum(Y, t0, n_steps):
+        return checksum(run_xla(Y, t0, n_steps))
+
+    t0a = jnp.asarray(0.0, dtype=dtype)
+    gps_xla, t_xla_lo, t_xla_hi = two_point_rate(
+        lambda n: (lambda: run_xla_sum(Y, t0a, n)),
+        args.steps, 4 * args.steps, points,
+    )
+    Yx = run_xla(Y, t0a, args.steps)  # state for the agreement check
 
     # --- pallas fused path ---
     interpret = jax.default_backend() != "tpu"
@@ -189,10 +243,10 @@ def main():
         tile_cols=args.tile_cols,
         interpret=interpret,
     )
-    n_calls = n_steps // args.steps_per_call
+    n_calls = args.steps // args.steps_per_call
 
-    @jax.jit
-    def run_pallas(Y, t0):
+    @partial(jax.jit, static_argnums=2)
+    def run_pallas(Y, t0, n_calls):
         def body(carry, _):
             Y, t = carry
             return (fused(Y, t), t + args.steps_per_call * args.dt), None
@@ -200,7 +254,15 @@ def main():
         (Yf, tf), _ = jax.lax.scan(body, (Y, t0), None, length=n_calls)
         return Yf
 
-    t_pal, Yp = time_fn(run_pallas, Y, jnp.asarray(0.0, dtype=dtype))
+    @partial(jax.jit, static_argnums=2)
+    def run_pallas_sum(Y, t0, n_calls):
+        return checksum(run_pallas(Y, t0, n_calls))
+
+    gps_pal, t_pal_lo, t_pal_hi = two_point_rate(
+        lambda n: (lambda: run_pallas_sum(Y, t0a, n)),
+        n_calls, 4 * n_calls, points * args.steps_per_call,
+    )
+    Yp = run_pallas(Y, t0a, n_calls)
 
     # --- sharded fused path (the multi-chip hot loop, here on a 1-device
     # mesh: measures shard_map overhead over the plain fused kernel) ---
@@ -213,23 +275,37 @@ def main():
     mesh1 = make_column_mesh(
         shape=(1,), axis_names=("columns",), devices=jax.devices()[:1]
     )
-    run_sharded = make_fused_sharded_run(
-        model,
-        mesh1,
-        stepper,
-        dt=args.dt,
-        steps_per_call=args.steps_per_call,
-        n_calls=n_calls,
-        tile_cols=args.tile_cols,
-        interpret=interpret,
+    Ys_in = shard_state(Y, mesh1)
+    Yas_in = shard_state(Ya, mesh1)
+
+    def make_sharded(n):
+        run = make_fused_sharded_run(
+            model,
+            mesh1,
+            stepper,
+            dt=args.dt,
+            steps_per_call=args.steps_per_call,
+            n_calls=n,
+            tile_cols=args.tile_cols,
+            interpret=interpret,
+        )
+
+        @jax.jit
+        def run_sum():
+            Yf, _ = run(Ys_in, Yas_in, t0a)
+            return checksum(Yf)
+
+        return run_sum
+
+    gps_sh, t_sh_lo, t_sh_hi = two_point_rate(
+        make_sharded, n_calls, 4 * n_calls, points * args.steps_per_call,
     )
-    t_sh, sh_out = time_fn(
-        run_sharded,
-        shard_state(Y, mesh1),
-        shard_state(Ya, mesh1),
-        jnp.asarray(0.0, dtype=dtype),
+    run_sh_state = make_fused_sharded_run(
+        model, mesh1, stepper, dt=args.dt,
+        steps_per_call=args.steps_per_call, n_calls=n_calls,
+        tile_cols=args.tile_cols, interpret=interpret,
     )
-    Ysh = sh_out[0]
+    Ysh, _ = run_sh_state(Ys_in, Yas_in, t0a)
 
     # cross-check the paths agree (f32 tolerance over n_steps)
     import numpy as np
@@ -243,9 +319,6 @@ def main():
         np.isfinite(v_p).all() and max_dev < 1e-4 and max_dev_sh < 1e-6
     )
 
-    gps_xla = points / t_xla
-    gps_pal = points / t_pal
-    gps_sh = points / t_sh
     value = max(gps_pal, gps_xla, gps_sh)
     result = {
         "metric": "coupled soil-column grid-points/s per chip",
@@ -257,7 +330,7 @@ def main():
             "device": str(jax.devices()[0]),
             "nz": args.nz,
             "ncol": args.ncol,
-            "steps": n_steps,
+            "steps": args.steps,
             "steps_per_call": args.steps_per_call,
             "xla_grid_points_per_s": gps_xla,
             "pallas_grid_points_per_s": gps_pal,
@@ -266,6 +339,13 @@ def main():
             "paths_agree": ok,
             "max_dev": max_dev,
             "max_dev_sharded": max_dev_sh,
+            "timing": {
+                "protocol": "two-point scalar-checksum differencing "
+                "(tunnel-sync-safe; see bench.py docstring)",
+                "xla_t_lo_hi_s": [t_xla_lo, t_xla_hi],
+                "pallas_t_lo_hi_s": [t_pal_lo, t_pal_hi],
+                "sharded_t_lo_hi_s": [t_sh_lo, t_sh_hi],
+            },
             "note": "vs_baseline = fused-pallas vs jit-scan XLA on the same "
             "chip (reference publishes no perf numbers, SURVEY.md §6)",
         },
