@@ -161,29 +161,38 @@ def main():
     )
     base = 64 if args.smoke else 1024
 
+    # bodies run INNER dependent-op chains so the scan-carry HBM traffic
+    # amortizes away and the measured rate is the true unit ceiling
+    INNER = 16
+
     @partial(jax.jit, static_argnums=1)
     def exp_chain(x, n):
         def body(x, _):
-            return jnp.exp(x * 1e-6) * 0.5, None  # 1 exp + 2 cheap / element
+            for _ in range(INNER):
+                x = jnp.exp(x * 1e-6) * 0.5
+            return x, None
 
         x, _ = jax.lax.scan(body, x, None, length=n)
         return x.sum()
 
     exp_rate, _, _ = two_point_rate(
-        lambda n: (lambda: exp_chain(x0, n)), base, 4 * base, points
+        lambda n: (lambda: exp_chain(x0, n)), base, 4 * base, INNER * points
     )
 
     @partial(jax.jit, static_argnums=1)
     def fma_chain(x, n):
         def body(x, c):
-            return x * c + 1e-12, None  # 1 fma / element, non-foldable
+            for _ in range(INNER):
+                x = x * c + 1e-12
+            return x, None
 
         cs = 1.0 + jnp.arange(n, dtype=dtype) * 1e-12
         x, _ = jax.lax.scan(body, x, cs)
         return x.sum()
 
     fma_rate, _, _ = two_point_rate(
-        lambda n: (lambda: fma_chain(x0, n)), 4 * base, 16 * base, points
+        lambda n: (lambda: fma_chain(x0, n)), 4 * base, 16 * base,
+        INNER * points,
     )
 
     big = jnp.zeros((256 * 1024 * 1024 // 4,), dtype)  # 256 MB stream
