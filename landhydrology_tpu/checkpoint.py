@@ -103,6 +103,43 @@ class CheckpointManager:
         s = self.steps()
         return s[-1] if s else None
 
+    @staticmethod
+    def _dtypes_differ(orbax_path: str, Y_template: dict) -> bool:
+        """True when any checkpointed 'Y' leaf dtype differs from the
+        template's (the one condition under which the host-side cast
+        fallback is the right move).  Conservative: if the metadata itself
+        cannot be read, report False so the original error propagates."""
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            meta = ckptr.metadata(os.path.abspath(orbax_path))
+            tree = getattr(meta, "item_metadata", meta)
+            if isinstance(tree, dict) and "Y" in tree:
+                tree = tree["Y"]
+            def _dtype_by_key(t):
+                return {
+                    "/".join(
+                        str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path
+                    ): getattr(leaf, "dtype", None)
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(
+                        t, is_leaf=lambda x: hasattr(x, "dtype")
+                    )[0]
+                }
+
+            saved = _dtype_by_key(tree)
+            tmpl = _dtype_by_key(Y_template)
+            common = set(saved) & set(tmpl)
+            if not common:
+                return False
+            return any(
+                saved[k] is not None
+                and tmpl[k] is not None
+                and np.dtype(saved[k]) != np.dtype(tmpl[k])
+                for k in common
+            )
+        except Exception:
+            return False
+
     def restore(self, Y_template: dict, step: Optional[int] = None) -> Tuple:
         step = self.latest() if step is None else step
         if step is None:
@@ -128,9 +165,20 @@ class CheckpointManager:
                 restored = ckptr.restore(
                     os.path.abspath(path) + ".orbax", target
                 )
-            except Exception:
-                # dtype-mismatched checkpoints (e.g. f64 -> f32 run): fall
-                # back to host-side restore + cast + re-placement
+            except Exception as err:
+                # Only a dtype-mismatched checkpoint (e.g. f64-written ->
+                # f32 run) justifies the host-replicated fallback restore;
+                # anything else (corrupt file, missing key, mesh mismatch)
+                # must surface, not be masked by a retry that defeats the
+                # per-shard-read memory benefit.
+                if not self._dtypes_differ(path + ".orbax", Y_template):
+                    raise RuntimeError(
+                        f"orbax restore of {path}.orbax failed and the "
+                        "checkpoint dtypes match the template (not a cast "
+                        "issue) — see the underlying error"
+                    ) from err
+                # dtype-mismatched checkpoint: fall back to host-side
+                # restore + cast + re-placement
                 restored = ckptr.restore(
                     os.path.abspath(path) + ".orbax",
                     {

@@ -366,7 +366,24 @@ class TRBDF2Soil(AbstractTimestepper):
 
     @property
     def stages(self) -> int:
-        return 2 * self.iters + 1
+        """rhs evaluations per step: 1 up-front ``f(u^n)`` plus, in each of
+        the two implicit stages, ``iters`` Gauss-Seidel sweeps that each
+        evaluate the rhs once per active component (water, heat, and the
+        relaxation freeze-thaw fixed point when configured) — the count the
+        throughput/cost accounting divides by."""
+        from landhydrology_tpu.models.soil.freeze_thaw import (
+            EquilibriumFreezeThaw,
+        )
+        from landhydrology_tpu.models.soil.model import SoilEnergyModel
+
+        n_active = int(
+            isinstance(self.model.hydrology_model, SoilHydrologyModel)
+        ) + int(isinstance(self.model.energy_model, SoilEnergyModel))
+        if self.model.freeze_thaw is not None and not isinstance(
+            self.model.freeze_thaw, EquilibriumFreezeThaw
+        ):
+            n_active += 1
+        return 1 + 2 * self.iters * max(n_active, 1)
 
     def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
         from landhydrology_tpu.models.soil.model import SoilEnergyModel

@@ -137,6 +137,24 @@ class SoilModel(AbstractModel):
     def __post_init__(self):
         if self.assume_no_ice and self.freeze_thaw is not None:
             raise ValueError("assume_no_ice is incompatible with freeze_thaw")
+        if self.freeze_thaw is not None:
+            # the phase-change machinery reads rho_e_int and the hydraulic
+            # retention curve: a prescribed component would fail at the first
+            # step with a raw KeyError/AttributeError deep in the projection
+            # (the reference likewise restricts its coupled-only physics,
+            # right_hand_side.jl:269-369) — validate at construction instead
+            if not isinstance(self.energy_model, SoilEnergyModel):
+                raise TypeError(
+                    "freeze_thaw requires a dynamic SoilEnergyModel (phase "
+                    "change is driven by the prognostic rho_e_int); got "
+                    f"{type(self.energy_model).__name__}"
+                )
+            if not isinstance(self.hydrology_model, SoilHydrologyModel):
+                raise TypeError(
+                    "freeze_thaw requires a dynamic SoilHydrologyModel (the "
+                    "equilibrium liquid fraction comes from its retention "
+                    f"curve); got {type(self.hydrology_model).__name__}"
+                )
 
     @property
     def float_dtype(self):

@@ -63,6 +63,16 @@ def make_fused_column_run(
     """
     import numpy as np
 
+    from landhydrology_tpu.models.soil.freeze_thaw import (
+        wrap_stepper_with_projection,
+    )
+
+    # EquilibriumFreezeThaw does its physics in a post-step projection, not
+    # in the rhs — wrap here so direct kernel users (and the sharded fused
+    # path, which builds per-shard kernels) never silently drop it
+    if getattr(model, "freeze_thaw", None) is not None:
+        stepper = wrap_stepper_with_projection(stepper, model)
+
     if model.lateral_coupling is not None:
         raise ValueError(
             "the fused column kernel tiles the column axis, so cross-column "

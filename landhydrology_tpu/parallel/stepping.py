@@ -52,6 +52,22 @@ def _state_specs(tree, mesh: Mesh, batch_shape):
     return jax.tree_util.tree_map(spec, tree)
 
 
+def _wrap_freeze_thaw(stepper, model):
+    """Apply the equilibrium phase projection to the stepper when the model
+    (or its soil component) configures EquilibriumFreezeThaw — without this,
+    a freeze-thaw config would run on the sharded paths with the phase
+    physics silently disabled (the rhs carries no equilibrium source; only
+    the projection wrap does the work).  Idempotent no-op otherwise."""
+    from landhydrology_tpu.models.soil.freeze_thaw import (
+        wrap_stepper_with_projection,
+    )
+
+    ft_owner = getattr(model, "soil", model)
+    if getattr(ft_owner, "freeze_thaw", None) is not None:
+        return wrap_stepper_with_projection(stepper, ft_owner)
+    return stepper
+
+
 def make_sharded_step(
     model,
     mesh: Mesh,
@@ -69,6 +85,7 @@ def make_sharded_step(
     dtype = model.float_dtype
     dt_a = jnp.asarray(dt, dtype=dtype)
     name = model.name
+    stepper = _wrap_freeze_thaw(stepper, model)
 
     if mode == "pjit":
         rhs = make_rhs(model, grid)

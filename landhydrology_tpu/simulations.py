@@ -96,13 +96,16 @@ class Simulation:
         self.model = model
         # EquilibriumFreezeThaw models project onto phase equilibrium after
         # every step: wrap any stepper transparently (idempotent no-op for
-        # other configs)
-        if getattr(model, "freeze_thaw", None) is not None:
+        # other configs).  Composed models (LandModel) carry the freeze-thaw
+        # config on their soil component — the projection acts on Y['soil']
+        # and preserves the other state groups, so the same wrap applies.
+        ft_owner = getattr(model, "soil", model)
+        if getattr(ft_owner, "freeze_thaw", None) is not None:
             from landhydrology_tpu.models.soil.freeze_thaw import (
                 wrap_stepper_with_projection,
             )
 
-            stepper = wrap_stepper_with_projection(stepper, model)
+            stepper = wrap_stepper_with_projection(stepper, ft_owner)
         self.stepper = stepper
         self.dt = float(dt)
         self.tspan = (float(tspan[0]), float(tspan[1]))

@@ -435,3 +435,53 @@ def test_fused_sharded_lateral_cfl_guard():
         make_fused_sharded_run(
             model, mesh, SSPRK33(), dt=10.0, steps_per_call=48, interpret=True
         )
+
+
+def test_sharded_freeze_thaw_projection_applies():
+    """The sharded factories must apply the EquilibriumFreezeThaw
+    projection (ADVICE r2 medium): an 8-device sharded step of a
+    supercooled batch matches the explicitly wrapped single-device step and
+    actually freezes ice (the unwrapped step would leave theta_i == 0)."""
+    from landhydrology_tpu.models.soil.freeze_thaw import (
+        EquilibriumFreezeThaw,
+        wrap_stepper_with_projection,
+    )
+
+    model = dataclasses.replace(_model(None), freeze_thaw=EquilibriumFreezeThaw())
+
+    def ic(z, m):
+        shape = (NZ, NX, NY)
+        theta = jnp.full(shape, 0.3)
+        theta_i = jnp.zeros(shape)
+        T = jnp.full(shape, 270.0)  # supercooled: projection must freeze
+        rho_c_s = volumetric_heat_capacity(theta, theta_i, 1.3e6, param_set)
+        return {
+            "vartheta_l": theta,
+            "theta_i": theta_i,
+            "rho_e_int": volumetric_internal_energy(
+                theta_i, rho_c_s, T, param_set
+            ),
+        }
+
+    Y, Ya = initialize_states(model, ic, 0.0)
+
+    # explicit single-device reference with the projection wrap
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.models.soil.rhs import make_rhs
+
+    grid = make_function_space(model.domain, model.float_dtype)
+    rhs = make_rhs(model, grid)
+    wrapped = wrap_stepper_with_projection(SSPRK33(), model)
+    Yref = wrapped.step(rhs, Y, Ya, jnp.asarray(0.0), jnp.asarray(10.0))
+    assert float(jnp.max(Yref["soil"]["theta_i"])) > 1e-4  # projection fires
+
+    mesh = make_column_mesh(shape=(4, 2))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    for mode in ("pjit", "shard_map"):
+        stepN = make_sharded_step(model, mesh, SSPRK33(), dt=10.0, mode=mode)
+        YN, _ = stepN(Ys, Yas, jnp.asarray(0.0))
+        for k in Y["soil"]:
+            np.testing.assert_allclose(
+                np.asarray(YN["soil"][k]), np.asarray(Yref["soil"][k]),
+                rtol=1e-12, atol=1e-18, err_msg=f"{mode}:{k}",
+            )

@@ -515,3 +515,30 @@ def test_equilibrium_through_pallas_kernel_and_trbdf2():
             jnp.sum(sim.Y["soil"]["vartheta_l"] + r * sim.Y["soil"]["theta_i"])
         )
         assert abs(mf - m0) / m0 < 1e-12
+
+
+def test_freeze_thaw_requires_dynamic_components():
+    """EquilibriumFreezeThaw (or relaxation FreezeThaw) with a prescribed
+    energy or hydrology component must fail loudly at construction, not
+    with a raw KeyError at the first projection (ADVICE r2)."""
+    import dataclasses
+
+    from landhydrology_tpu import (
+        PrescribedHydrologyModel,
+        PrescribedTemperatureModel,
+    )
+    from landhydrology_tpu.models.soil.freeze_thaw import EquilibriumFreezeThaw
+
+    base = _freeze_model(None)
+    with pytest.raises(TypeError, match="SoilEnergyModel"):
+        dataclasses.replace(
+            base,
+            energy_model=PrescribedTemperatureModel(),
+            freeze_thaw=EquilibriumFreezeThaw(),
+        )
+    with pytest.raises(TypeError, match="SoilHydrologyModel"):
+        dataclasses.replace(
+            base,
+            hydrology_model=PrescribedHydrologyModel(),
+            freeze_thaw=EquilibriumFreezeThaw(),
+        )

@@ -478,3 +478,27 @@ def test_adaptive_uses_trbdf2_order():
         np.asarray(ref["soil"]["vartheta_l"]),
         atol=1e-5,
     )
+
+
+def test_trbdf2_stages_counts_rhs_evaluations():
+    """The ``stages`` contract is 'rhs evaluations per step' (ADVICE r2):
+    1 up-front f(u^n) + 2 stages x iters sweeps x active components."""
+    import dataclasses
+
+    from landhydrology_tpu import (
+        PrescribedHydrologyModel,
+        PrescribedTemperatureModel,
+    )
+    from landhydrology_tpu.imex import TRBDF2Soil
+    from landhydrology_tpu.models.soil.freeze_thaw import FreezeThaw
+
+    model = _stiff_coupled_model()
+    grid = make_function_space(model.domain, model.float_dtype)
+    assert TRBDF2Soil(model=model, grid=grid, iters=3).stages == 1 + 2 * 3 * 2
+    assert TRBDF2Soil(model=model, grid=grid, iters=2).stages == 1 + 2 * 2 * 2
+    water_only = dataclasses.replace(
+        model, energy_model=PrescribedTemperatureModel()
+    )
+    assert TRBDF2Soil(model=water_only, grid=grid, iters=3).stages == 1 + 2 * 3
+    ft = dataclasses.replace(model, freeze_thaw=FreezeThaw(tau=600.0))
+    assert TRBDF2Soil(model=ft, grid=grid, iters=2).stages == 1 + 2 * 2 * 3

@@ -237,3 +237,32 @@ def test_explicit_dt_limit_flags_saturated_stiffness():
     dt_sat = float(explicit_dt_limit(model, Y_sat))
     assert dt_sat < dt_unsat / 20
     assert dt_sat < 2.0  # the regime where dt=2 blew up in verification
+
+
+def test_checkpoint_corruption_surfaces_not_masked(tmp_path):
+    """A restore failure that is NOT a dtype mismatch must raise (with the
+    original error chained), never silently retry the host-replicated
+    fallback (ADVICE r2)."""
+    import os
+    import shutil
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), use_orbax=True)
+    Y = {"soil": {"vartheta_l": jnp.ones((4, 8))}}
+    path = mgr.save(3, Y, 1.5)
+    if not path.endswith(".orbax"):
+        pytest.skip("orbax unavailable")
+    # corrupt: remove the array data payload but keep the metadata
+    removed = False
+    for root, dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            if os.path.getsize(p) > 0 and "zarr" not in f and f != "_METADATA":
+                os.remove(p)
+                removed = True
+    if not removed:
+        shutil.rmtree(os.path.join(path, "Y"), ignore_errors=True)
+    with pytest.raises(Exception) as ei:
+        mgr.restore(Y, 3)
+    # must not be a silent success; and the dtype-fallback path must not
+    # have swallowed the real cause
+    assert not isinstance(ei.value, KeyboardInterrupt)
