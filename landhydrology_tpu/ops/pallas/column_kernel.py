@@ -47,6 +47,7 @@ def make_fused_column_run(
     steps_per_call: int = 16,
     tile_cols: int = 512,
     interpret: bool = False,
+    streamed_geometry=None,
 ):
     """Build ``run(Y, t0) -> Y'`` advancing ``steps_per_call`` steps with the
     state resident in VMEM.
@@ -60,6 +61,14 @@ def make_fused_column_run(
     heterogeneous-soil batches run at full kernel speed).  Chain calls
     (e.g. under ``lax.scan``) for longer horizons; time advances
     ``steps_per_call * dt`` per call.
+
+    ``streamed_geometry``: optional ``(dz, zc)`` pair of *traced* arrays
+    shaped ``(ncol,)`` / ``(nz, ncol)`` carrying per-column grids that are
+    not known at factory time — the path that lets ``make_fused_sharded_run``
+    stream ``VariableDepthColumn`` geometry into per-shard kernels (inside
+    ``shard_map`` the host-side domain only knows the GLOBAL geometry, so
+    the shard-local slices must arrive as data).  The model's ``domain`` is
+    then only consulted for ``nelements`` and the flat batch rank.
     """
     import numpy as np
 
@@ -67,23 +76,45 @@ def make_fused_column_run(
         wrap_stepper_with_projection,
     )
 
+    # LandModel composition (soil + pond store): the pond height h_s is one
+    # more streamed/aliased state leaf and the rhs becomes the composed land
+    # tendency — the rain + pond + MOST + energy flagship runs at fused-soil
+    # speed instead of falling back to the XLA path (VERDICT r2 item 3).
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil = model.soil if is_land else model
+    surface = model.surface if is_land else None
+
     # EquilibriumFreezeThaw does its physics in a post-step projection, not
     # in the rhs — wrap here so direct kernel users (and the sharded fused
     # path, which builds per-shard kernels) never silently drop it
-    if getattr(model, "freeze_thaw", None) is not None:
-        stepper = wrap_stepper_with_projection(stepper, model)
+    if getattr(soil, "freeze_thaw", None) is not None:
+        stepper = wrap_stepper_with_projection(stepper, soil)
 
-    if model.lateral_coupling is not None:
+    if soil.lateral_coupling is not None:
         raise ValueError(
             "the fused column kernel tiles the column axis, so cross-column "
             "lateral coupling cannot run inside it — use the XLA path "
-            "(make_rhs / make_sharded_step), which lowers the lateral "
-            "stencil to collective permutes"
+            "(make_rhs / make_sharded_step) or make_fused_sharded_run, "
+            "which Lie-splits the lateral stencil at segment boundaries"
         )
-    if len(model.domain.batch_shape) != 1:
+    if is_land and surface.runoff is not None:
+        raise ValueError(
+            "pond runoff routing is a cross-column stencil and cannot run "
+            "inside the column-tiled kernel — use make_fused_sharded_run "
+            "(diffusive routing Lie-split at segment boundaries) or the "
+            "XLA path"
+        )
+    if is_land and np.ndim(surface.precipitation(0.0)) > 0:
+        raise ValueError(
+            "the fused kernel advances time internally, so per-column "
+            "precipitation arrays cannot be tiled consistently — use a "
+            "scalar-returning precipitation(t) here, or the XLA path / the "
+            "forcing-stream driver for per-column rain"
+        )
+    if len(soil.domain.batch_shape) != 1:
         raise ValueError(
             "the fused column kernel expects a 1-D column batch (nz, ncol); "
-            f"got batch_shape={model.domain.batch_shape} — flatten the "
+            f"got batch_shape={soil.domain.batch_shape} — flatten the "
             "column grid before calling"
         )
 
@@ -91,38 +122,67 @@ def make_fused_column_run(
     # (Pallas kernels cannot capture device constants, and this factory may
     # itself run inside a jit/shard_map trace — make_fused_sharded_run —
     # where even jnp.asarray(2.0) is a tracer).
-    grid_obj = make_function_space(model.domain, model.float_dtype, as_numpy=True)
-    nz = grid_obj.nz
-    dtype = model.float_dtype
-    # Variable-depth grids (VariableDepthColumn) carry a per-column dz and a
-    # full (nz, ncol) zc; both are streamed as tiled kernel inputs like the
-    # heterogeneous soil parameters.  Uniform grids bake dz/zc as literals.
-    variable_dz = np.ndim(grid_obj.dz) > 0
-    if variable_dz:
-        # dz placeholder is replaced per tile inside the kernel; the rhs
-        # never reads grid.zc/zf (centers come from Ya['zc']), so zero stubs
-        # keep the literal grid free of per-column constants.
-        grid_lit = dataclasses.replace(
-            grid_obj,
+    dtype = soil.float_dtype
+    if streamed_geometry is not None:
+        # per-column geometry arrives as traced data: no host grid exists
+        from landhydrology_tpu.domains import ColumnGrid
+
+        nz = int(soil.domain.nelements)
+        grid_obj = None
+        variable_dz = True
+        grid_lit = ColumnGrid(
+            zc=np.zeros((nz, 1)),
+            zf=np.zeros((nz + 1, 1)),
             dz=0.0,
-            zc=np.zeros((nz,) + (1,) * len(grid_obj.batch_shape)),
-            zf=np.zeros((nz + 1,) + (1,) * len(grid_obj.batch_shape)),
+            nz=nz,
+            batch_shape=(1,),
         )
     else:
-        grid_lit = grid_obj
-    name = model.name
+        grid_obj = make_function_space(
+            soil.domain, soil.float_dtype, as_numpy=True
+        )
+        nz = grid_obj.nz
+        # Variable-depth grids (VariableDepthColumn) carry a per-column dz
+        # and a full (nz, ncol) zc; both are streamed as tiled kernel inputs
+        # like the heterogeneous soil parameters.  Uniform grids bake dz/zc
+        # as literals.
+        variable_dz = np.ndim(grid_obj.dz) > 0
+        if variable_dz:
+            # dz placeholder is replaced per tile inside the kernel; the rhs
+            # never reads grid.zc/zf (centers come from Ya['zc']), so zero
+            # stubs keep the literal grid free of per-column constants.
+            grid_lit = dataclasses.replace(
+                grid_obj,
+                dz=0.0,
+                zc=np.zeros((nz,) + (1,) * len(grid_obj.batch_shape)),
+                zf=np.zeros((nz + 1,) + (1,) * len(grid_obj.batch_shape)),
+            )
+        else:
+            grid_lit = grid_obj
+    name = soil.name
+    surf_name = surface.name if is_land else None
     dt_c = float(dt)
 
     # Heterogeneous per-column parameters: every array-valued leaf of the
     # soil/hydraulics parameter pytrees becomes an extra kernel input,
     # tiled along the column axis; scalar leaves are baked as literals.
-    hydrology = model.hydrology_model
+    # LandModel adds the surface store's numeric fields (tau_pond,
+    # h_evap_smoothing) — scalars bake, per-column arrays stream.
+    hydrology = soil.hydrology_model
     param_trees = (
-        model.soil_param_set,
-        hydrology.hydraulic_model,
-        hydrology.viscosity_factor,
-        hydrology.impedance_factor,
-        model.boundary_conditions,  # BatchedBC kinds/values etc. are leaves
+        soil.soil_param_set,
+        getattr(hydrology, "hydraulic_model", None),
+        getattr(hydrology, "viscosity_factor", None),
+        getattr(hydrology, "impedance_factor", None),
+        soil.boundary_conditions,  # BatchedBC kinds/values etc. are leaves
+        (
+            {
+                "tau_pond": surface.tau_pond,
+                "h_evap_smoothing": surface.h_evap_smoothing,
+            }
+            if is_land
+            else None
+        ),
     )
     flat_params, params_treedef = jax.tree_util.tree_flatten(param_trees)
 
@@ -149,30 +209,42 @@ def make_fused_column_run(
     n_params = len(array_params)
 
     def _model_for_tile(tile_leaves):
+        """(model, soil) pair rebuilt from the tile-local parameter slices;
+        for a plain SoilModel the two coincide."""
         leaves = list(flat_params)
         for pos, val in zip(array_idx, tile_leaves):
             leaves[pos] = val  # (tile,) block slice, broadcasts everywhere
-        sp, hm, visc, imp, bcs = jax.tree_util.tree_unflatten(
+        sp, hm, visc, imp, bcs, surf_extra = jax.tree_util.tree_unflatten(
             params_treedef, leaves
         )
-        return dataclasses.replace(
-            model,
-            soil_param_set=sp,
-            hydrology_model=dataclasses.replace(
-                hydrology,
-                hydraulic_model=hm,
-                viscosity_factor=visc,
-                impedance_factor=imp,
-            ),
-            boundary_conditions=bcs,
+        soil_tile = dataclasses.replace(
+            soil, soil_param_set=sp, boundary_conditions=bcs
         )
+        if hm is not None:
+            soil_tile = dataclasses.replace(
+                soil_tile,
+                hydrology_model=dataclasses.replace(
+                    hydrology,
+                    hydraulic_model=hm,
+                    viscosity_factor=visc,
+                    impedance_factor=imp,
+                ),
+            )
+        if is_land:
+            surf_tile = dataclasses.replace(surface, **surf_extra)
+            return (
+                dataclasses.replace(model, soil=soil_tile, surface=surf_tile),
+                soil_tile,
+            )
+        return soil_tile, soil_tile
 
     from landhydrology_tpu.models.soil.initial_conditions import prognostic_vars
 
-    state_vars = prognostic_vars(model)
+    state_vars = prognostic_vars(soil)
     n_state = len(state_vars)
     if n_state == 0:
         raise ValueError("fused kernel needs at least one dynamic component")
+    n_surf = 1 if is_land else 0  # the pond height h_s, one (1, tile) leaf
 
     n_extra = 1 if variable_dz else 0  # streamed per-column dz
 
@@ -180,31 +252,44 @@ def make_fused_column_run(
         param_refs = refs[:n_params]
         extra_refs = refs[n_params : n_params + n_extra]
         state_refs = refs[n_params + n_extra : n_params + n_extra + n_state]
-        out_refs = refs[n_params + n_extra + n_state :]
+        surf_refs = refs[
+            n_params + n_extra + n_state : n_params + n_extra + n_state + n_surf
+        ]
+        out_refs = refs[n_params + n_extra + n_state + n_surf :]
         # (1, tile) blocks -> (tile,): broadcasts against both (nz, tile)
         # center fields and (tile,) boundary-face slices
-        model_tile = _model_for_tile([r[:][0] for r in param_refs])
+        model_tile, soil_tile = _model_for_tile(
+            [r[:][0] for r in param_refs]
+        )
         grid_k = (
             dataclasses.replace(grid_lit, dz=extra_refs[0][:][0])
             if variable_dz
             else grid_lit
         )
-        rhs = make_rhs(model_tile, grid_k)
+        if is_land:
+            from landhydrology_tpu.models.land import make_rhs as make_land_rhs
+
+            rhs = make_land_rhs(model_tile, grid_k)
+        else:
+            rhs = make_rhs(model_tile, grid_k)
 
         # steppers that close over the model/grid (PhaseEquilibriumStepper's
         # projection, the imex tridiagonal solvers) must see the tile-local
-        # parameter slices and the literal kernel grid
+        # parameter slices and the literal kernel grid (they are soil-state
+        # steppers, so the soil tile is the right rebind target)
         def _rebind(st):
             if hasattr(st, "inner"):
                 st = dataclasses.replace(st, inner=_rebind(st.inner))
             if hasattr(st, "model"):
-                st = dataclasses.replace(st, model=model_tile)
+                st = dataclasses.replace(st, model=soil_tile)
             if hasattr(st, "grid"):
                 st = dataclasses.replace(st, grid=grid_k)
             return st
 
         stepper_k = _rebind(stepper)
         Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
+        if is_land:
+            Y[surf_name] = {"h_s": surf_refs[0][:][0]}  # (tile,)
         # prescribed aux fields are recomputed from their (z, t) profiles by
         # the rhs's update_aux, entirely inside the kernel
         Ya = {"zc": zc_ref[:], name: {}}
@@ -217,6 +302,8 @@ def make_fused_column_run(
         Yf = jax.lax.fori_loop(0, steps_per_call, body, Y)
         for k, r in zip(state_vars, out_refs):
             r[:] = Yf[name][k]
+        if is_land:
+            out_refs[n_state][:] = Yf[surf_name]["h_s"].reshape(1, -1)
 
     def run(Y: dict, t0) -> dict:
         states = [Y[name][k] for k in state_vars]
@@ -234,16 +321,20 @@ def make_fused_column_run(
         )
         if variable_dz:
             # per-column coordinates/spacing travel with the column tiles
-            zc = jnp.broadcast_to(
-                jnp.asarray(grid_obj.zc, dtype=dtype), (nz, ncol)
-            )
-            zc_spec = col_spec
-            extra_inputs = [
-                jnp.broadcast_to(
+            if streamed_geometry is not None:
+                dz_in, zc_in = streamed_geometry
+                zc = jnp.asarray(zc_in, dtype=dtype).reshape(nz, ncol)
+                dz_row = jnp.asarray(dz_in, dtype=dtype).reshape(1, ncol)
+            else:
+                zc = jnp.broadcast_to(
+                    jnp.asarray(grid_obj.zc, dtype=dtype), (nz, ncol)
+                )
+                dz_row = jnp.broadcast_to(
                     jnp.asarray(grid_obj.dz, dtype=dtype).reshape(1, -1),
                     (1, ncol),
                 )
-            ]
+            zc_spec = col_spec
+            extra_inputs = [dz_row]
             extra_specs = [param_spec]
         else:
             zc = jnp.broadcast_to(grid_obj.zc.reshape(nz, 1), (nz, 1)).astype(dtype)
@@ -258,6 +349,15 @@ def make_fused_column_run(
                     f"per-column parameter of length {p.shape[1]} does not "
                     f"match ncol={ncol}"
                 )
+        surf_inputs = []
+        if is_land:
+            h_s = jnp.asarray(Y[surf_name]["h_s"], dtype=dtype)
+            if h_s.shape != (ncol,):
+                raise ValueError(
+                    f"pond state h_s of shape {h_s.shape} does not match the "
+                    f"flat column batch ({ncol},)"
+                )
+            surf_inputs = [h_s.reshape(1, ncol)]
         n_in = 2 + n_params + n_extra  # t0, zc, params, dz precede the state
         out = pl.pallas_call(
             kernel,
@@ -268,16 +368,23 @@ def make_fused_column_run(
                 *([param_spec] * n_params),
                 *extra_specs,
                 *([col_spec] * n_state),
+                *([param_spec] * n_surf),
             ],
-            out_specs=tuple([col_spec] * n_state),
+            out_specs=tuple([col_spec] * n_state + [param_spec] * n_surf),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((nz, ncol), dtype) for _ in range(n_state)
+                [jax.ShapeDtypeStruct((nz, ncol), dtype) for _ in range(n_state)]
+                + [jax.ShapeDtypeStruct((1, ncol), dtype) for _ in range(n_surf)]
             ),
-            input_output_aliases={n_in + j: j for j in range(n_state)},
+            input_output_aliases={
+                n_in + j: j for j in range(n_state + n_surf)
+            },
             interpret=interpret,
-        )(t0, zc, *array_params, *extra_inputs, *states)
-        if n_state == 1:
+        )(t0, zc, *array_params, *extra_inputs, *states, *surf_inputs)
+        if n_state + n_surf == 1:
             out = (out,) if not isinstance(out, (tuple, list)) else out
-        return {name: {k: o for k, o in zip(state_vars, out)}}
+        result = {name: {k: o for k, o in zip(state_vars, out)}}
+        if is_land:
+            result[surf_name] = {"h_s": out[n_state][0]}
+        return result
 
     return run

@@ -38,16 +38,24 @@ Array = Any
 
 def _state_specs(tree, mesh: Mesh, batch_shape):
     """PartitionSpec pytree for a state: leaves shaped (nz, *batch) get
-    their batch axes sharded; broadcast-ready singleton axes replicate."""
+    their batch axes sharded; batch-only leaves (the pond height h_s of a
+    LandModel state) shard the same way without the leading vertical axis;
+    broadcast-ready singleton axes replicate."""
     ax = mesh.axis_names
 
+    def _batch_parts(shape):
+        return [
+            name if size > 1 and size % mesh.shape[name] == 0 else None
+            for size, name in zip(shape, ax)
+        ]
+
     def spec(x):
-        if getattr(x, "ndim", 0) < 1 + len(batch_shape):
+        nd = getattr(x, "ndim", 0)
+        if nd == len(batch_shape) and tuple(x.shape) == tuple(batch_shape):
+            return P(*_batch_parts(x.shape))
+        if nd < 1 + len(batch_shape):
             return P()
-        parts = []
-        for size, name in zip(x.shape[1:], ax):
-            parts.append(name if size > 1 and size % mesh.shape[name] == 0 else None)
-        return P(None, *parts)
+        return P(None, *_batch_parts(x.shape[1:]))
 
     return jax.tree_util.tree_map(spec, tree)
 
@@ -81,14 +89,18 @@ def make_sharded_step(
     ``mode='shard_map'``: per-shard program with explicit halo exchange for
     the lateral coupling; per-column arrays are streamed as sharded args.
     """
-    grid = make_function_space(model.domain, model.float_dtype)
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil_model = model.soil if is_land else model
+    grid = make_function_space(soil_model.domain, model.float_dtype)
     dtype = model.float_dtype
     dt_a = jnp.asarray(dt, dtype=dtype)
-    name = model.name
+    name = soil_model.name
     stepper = _wrap_freeze_thaw(stepper, model)
 
     if mode == "pjit":
-        rhs = make_rhs(model, grid)
+        # AbstractModel protocol: composed models (LandModel) bring their
+        # own rhs; XLA partitions the pond/routing terms with the state
+        rhs = model.make_rhs(grid) if is_land else make_rhs(model, grid)
 
         @jax.jit
         def step(Y, Ya, t):
@@ -99,6 +111,12 @@ def make_sharded_step(
 
     if mode != "shard_map":
         raise ValueError(f"unknown mode {mode!r}")
+    if is_land:
+        raise ValueError(
+            "make_sharded_step(mode='shard_map') supports SoilModel only; "
+            "LandModel runs multi-chip via mode='pjit' or the fused "
+            "make_fused_sharded_run path"
+        )
 
     # --- shard_map path ---
     # the model config is closed over and replicated per shard; per-column
@@ -306,38 +324,55 @@ def make_fused_sharded_run(
     Lateral surface coupling runs as a first-order **Lie split**: each fused
     segment advances the vertical physics with the lateral term frozen, then
     one explicit lateral update with halo exchange is applied over the
-    segment window ``steps_per_call * dt``.  The split is device-count
+    segment window ``w = steps_per_call * dt``.  The split is device-count
     invariant (the halo laplacian is numerically identical to the roll
     laplacian), so an N-device run matches a 1-device run of the same
-    scheme; accuracy requires ``steps_per_call * dt`` within the lateral
-    CFL (``dx^2 * dz / (4 c)``), checked at construction.
+    scheme.  **Accuracy model (measured, see
+    ``tests/parallel/test_sharding.py::test_fused_sharded_lateral_split_
+    first_order_in_window``)**: the deviation from the unsplit trajectory is
+    first order in the window, ``err ~ C w`` with ``C`` of the order of the
+    lateral tendency ``(c / dz) lap(h)``; halving ``w`` halves the error.
+    Near the stability limit ``w_max = dx^2 dz / (4 c)`` (checked at
+    construction) the error grows superlinearly — choose ``w <~ w_max / 5``
+    for the clean first-order regime, and shrink ``steps_per_call`` (or
+    chain more ``n_calls``) until the lateral update per window is small
+    against the fields it moves.
 
-    Variable-depth grids keep using ``make_sharded_run`` (the fused kernel's
-    streamed-dz path needs concrete per-column geometry at trace time, which
-    ``shard_map`` hides); heterogeneous params, BatchedBC and MOST all run
-    here.
+    Heterogeneous params, BatchedBC and MOST all run here.  LandModel
+    composes too: the pond state h_s shards with the columns, the pond +
+    MOST exchange runs inside the kernel, and diffusive pond routing
+    (:class:`~landhydrology_tpu.models.land.RunoffRouting`) joins the
+    lateral Lie split at segment boundaries with the same halo exchange
+    (Manning :class:`KinematicWaveRouting` needs upwinded halo stencils and
+    stays on the XLA path for now).
 
     Returns jitted ``run(Y, Ya, t0) -> (Y', t')`` advancing
     ``n_calls * steps_per_call`` steps.
     """
-    grid = make_function_space(model.domain, model.float_dtype)
-    if jnp.ndim(grid.dz) > 0:
-        raise ValueError(
-            "make_fused_sharded_run supports uniform-depth columns only; "
-            "use make_sharded_run(mode='shard_map') for VariableDepthColumn"
-        )
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil_model = model.soil if is_land else model
+    surface = model.surface if is_land else None
+    surf_name = surface.name if is_land else None
+    grid = make_function_space(soil_model.domain, model.float_dtype)
+    variable_dz = jnp.ndim(grid.dz) > 0
     dtype = model.float_dtype
     dt_f = float(dt)
-    name = model.name
+    name = soil_model.name
     nz = grid.nz
-    dz_f = float(grid.dz)
-    batch_shape = model.domain.batch_shape
+    dz_f = None if variable_dz else float(grid.dz)
+    batch_shape = soil_model.domain.batch_shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    lc = model.lateral_coupling
+    seg_dt = steps_per_call * dt_f
+    lc = soil_model.lateral_coupling
+    if lc is not None and variable_dz:
+        raise ValueError(
+            "lateral surface coupling with VariableDepthColumn is not "
+            "supported on the fused sharded path (the Lie-split update "
+            "needs a uniform dz) — use make_sharded_step(mode='shard_map')"
+        )
     if lc is not None:
-        seg_dt = steps_per_call * dt_f
         lat_limit = lc.dx * lc.dx * dz_f / (4.0 * lc.conductance)
         if seg_dt > lat_limit:
             raise ValueError(
@@ -345,14 +380,47 @@ def make_fused_sharded_run(
                 f"the lateral explicit limit dx^2*dz/(4c)={lat_limit:g}s; "
                 "reduce steps_per_call or dt"
             )
-    model_base = dataclasses.replace(model, lateral_coupling=None)
-    hydrology = model_base.hydrology_model
+    ro = surface.runoff if is_land else None
+    if ro is not None:
+        from landhydrology_tpu.models.land import RunoffRouting
+
+        if not isinstance(ro, RunoffRouting):
+            raise ValueError(
+                "the fused sharded path Lie-splits diffusive RunoffRouting "
+                f"only; {type(ro).__name__} needs upwinded halo stencils — "
+                "use the XLA path (make_sharded_step mode='pjit')"
+            )
+        ro_limit = ro.dx * ro.dx / (4.0 * ro.conductance)
+        if seg_dt > ro_limit:
+            raise ValueError(
+                f"routing split window steps_per_call*dt={seg_dt:g}s exceeds "
+                f"the diffusive routing limit dx^2/(4c)={ro_limit:g}s; "
+                "reduce steps_per_call or dt"
+            )
+    soil_base = dataclasses.replace(soil_model, lateral_coupling=None)
+    if is_land:
+        model_base = dataclasses.replace(
+            model,
+            soil=soil_base,
+            surface=dataclasses.replace(surface, runoff=None),
+        )
+    else:
+        model_base = soil_base
+    hydrology = soil_base.hydrology_model
     param_trees = (
-        model_base.soil_param_set,
+        soil_base.soil_param_set,
         getattr(hydrology, "hydraulic_model", None),
         getattr(hydrology, "viscosity_factor", None),
         getattr(hydrology, "impedance_factor", None),
-        model_base.boundary_conditions,
+        soil_base.boundary_conditions,
+        (
+            {
+                "tau_pond": surface.tau_pond,
+                "h_evap_smoothing": surface.h_evap_smoothing,
+            }
+            if is_land
+            else None
+        ),
     )
     flat_params, params_treedef = jax.tree_util.tree_flatten(param_trees)
 
@@ -377,18 +445,37 @@ def make_fused_sharded_run(
 
     param_specs = tuple(_param_spec(x) for x in param_args)
 
+    # VariableDepthColumn: the per-column dz is sharded data streamed into
+    # the per-shard kernel (mirroring the plain shard_map path); the local
+    # zc slab travels with the sharded aux state (Ya['zc'])
+    if variable_dz:
+        geom_args = (jnp.asarray(grid.dz, dtype=dtype),)
+        geom_specs = (_param_spec(geom_args[0]),)
+    else:
+        geom_args = ()
+        geom_specs = ()
+
     def _model_for_shard(local_arrays, local_ncol):
         leaves = list(flat_params)
         for pos, val in zip(array_idx, local_arrays):
             leaves[pos] = val
-        sp_, hm_, visc_, imp_, bcs_ = jax.tree_util.tree_unflatten(
+        sp_, hm_, visc_, imp_, bcs_, surf_extra = jax.tree_util.tree_unflatten(
             params_treedef, leaves
         )
-        flat_domain = dataclasses.replace(
-            model_base.domain, batch_shape=(local_ncol,)
-        )
+        if variable_dz:
+            # the kernel receives geometry as streamed data; the domain only
+            # supplies nelements and the flat batch rank
+            from landhydrology_tpu.domains import Column as _Column
+
+            flat_domain = _Column(
+                zlim=(-1.0, 0.0), nelements=nz, batch_shape=(local_ncol,)
+            )
+        else:
+            flat_domain = dataclasses.replace(
+                soil_base.domain, batch_shape=(local_ncol,)
+            )
         out = dataclasses.replace(
-            model_base,
+            soil_base,
             domain=flat_domain,
             soil_param_set=sp_,
             boundary_conditions=bcs_,
@@ -402,6 +489,12 @@ def make_fused_sharded_run(
                     viscosity_factor=visc_,
                     impedance_factor=imp_,
                 ),
+            )
+        if is_land:
+            return dataclasses.replace(
+                model_base,
+                soil=out,
+                surface=dataclasses.replace(model_base.surface, **surf_extra),
             )
         return out
 
@@ -421,6 +514,13 @@ def make_fused_sharded_run(
             ncol *= s
         tile = _largest_divisor_at_most(ncol, tile_cols)
         model_shard = _model_for_shard(local_arrays, ncol)
+        soil_shard = model_shard.soil if is_land else model_shard
+        geometry = None
+        if variable_dz:
+            geometry = (
+                args[n_param_args].reshape(ncol),
+                Ya["zc"].reshape(nz, ncol),
+            )
         fused = make_fused_column_run(
             model_shard,
             stepper,
@@ -428,14 +528,20 @@ def make_fused_sharded_run(
             steps_per_call=steps_per_call,
             tile_cols=tile,
             interpret=interpret,
+            streamed_geometry=geometry,
         )
         if lc is not None:
-            sp = model_shard.soil_param_set
-            hm = model_shard.hydrology_model.hydraulic_model
+            sp = soil_shard.soil_param_set
+            hm = soil_shard.hydrology_model.hydraulic_model
             zc_top = Ya["zc"][top_idx]  # (*ones) broadcast-ready
 
         def flatten(Ys):
-            return {name: {k: v.reshape(nz, ncol) for k, v in Ys[name].items()}}
+            out = {name: {k: v.reshape(nz, ncol) for k, v in Ys[name].items()}}
+            if is_land:
+                out[surf_name] = {
+                    "h_s": Ys[surf_name]["h_s"].reshape(ncol)
+                }
+            return out
 
         def unflatten_leaf(v):
             return v.reshape((nz, *local_batch))
@@ -459,6 +565,15 @@ def make_fused_sharded_run(
                 new_top = (vt + delta).reshape(ncol)
                 d = Yc[name]["vartheta_l"].at[top_idx].set(new_top)
                 Yc = {**Yc, name: {**Yc[name], "vartheta_l": d}}
+            if ro is not None:
+                # diffusive pond routing, Lie-split over the same window and
+                # numerically identical to the roll Laplacian of
+                # models/land.routing_tendency (device-count invariant)
+                hs = Yc[surf_name]["h_s"].reshape(local_batch)
+                h_eff = jnp.maximum(hs - ro.h_detention, 0.0)
+                lap_h = _local_laplacian(h_eff, ro.dx, mesh_shape, ax)
+                hs2 = hs + (steps_per_call * dt_f) * ro.conductance * lap_h
+                Yc = {**Yc, surf_name: {"h_s": hs2.reshape(ncol)}}
             return (Yc, t), None
 
         (Yf, tf), _ = jax.lax.scan(
@@ -467,6 +582,10 @@ def make_fused_sharded_run(
         Yout = {
             name: {k: unflatten_leaf(v) for k, v in Yf[name].items()}
         }
+        if is_land:
+            Yout[surf_name] = {
+                "h_s": Yf[surf_name]["h_s"].reshape(local_batch)
+            }
         return Yout, tf
 
     def specs_for(tree):
@@ -478,10 +597,12 @@ def make_fused_sharded_run(
         fn = shard_map(
             _run_local,
             mesh=mesh,
-            in_specs=(specs_for(Y), specs_for(Ya), P(), *param_specs),
+            in_specs=(
+                specs_for(Y), specs_for(Ya), P(), *param_specs, *geom_specs
+            ),
             out_specs=(specs_for(Y), P()),
             check_vma=False,
         )
-        return fn(Y, Ya, t0, *param_args)
+        return fn(Y, Ya, t0, *param_args, *geom_args)
 
     return jax.jit(run)

@@ -147,11 +147,14 @@ class Simulation:
 
             from landhydrology_tpu.models.soil.model import SoilModel as _SoilModel
 
-            if not isinstance(model, _SoilModel):
+            is_land = hasattr(model, "soil") and hasattr(model, "surface")
+            if not (isinstance(model, _SoilModel) or is_land):
                 raise ValueError(
-                    "engine='pallas' supports SoilModel only; composed "
-                    "models (LandModel) run on the XLA engine"
+                    "engine='pallas' supports SoilModel and LandModel; got "
+                    f"{type(model).__name__}"
                 )
+            # LandModel constraints (runoff routing, per-column rain, batch
+            # rank) are validated by make_fused_column_run with guidance
 
             from landhydrology_tpu.ops.pallas import make_fused_column_run
 
