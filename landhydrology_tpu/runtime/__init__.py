@@ -16,6 +16,10 @@ from landhydrology_tpu.runtime.forcing import (
     stream_windows,
     write_forcing,
 )
+from landhydrology_tpu.runtime.forcing_driver import (
+    make_forced_segment_run,
+    run_forced,
+)
 from landhydrology_tpu.runtime.io import (
     TrajectorySink,
     native_available,
@@ -29,4 +33,6 @@ __all__ = [
     "ForcingReader",
     "write_forcing",
     "stream_windows",
+    "make_forced_segment_run",
+    "run_forced",
 ]

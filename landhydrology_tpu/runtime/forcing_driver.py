@@ -1,0 +1,209 @@
+"""Time-varying forcing driven runs: the consumer of the forcing pipeline.
+
+The reference's forcing is a hard-coded constant closure
+(``experiments/SoilModel/surface_fluxes.jl:61-87``); this module is what
+replaces it at reanalysis scale: per-column atmospheric forcing time series
+written once with :func:`~landhydrology_tpu.runtime.write_forcing` stream
+from the native windowed reader (mmap + background prefetch) into a jitted
+scan, window k's device compute overlapping window k+1's host staging
+(JAX async dispatch x :func:`~landhydrology_tpu.runtime.stream_windows`
+prefetch).
+
+Contract: the forcing file is sampled on the run's step grid — row ``i``
+holds the forcing applied during step ``i`` (piecewise-constant over each
+``dt``), the discrete-time analogue of the reference's ``f(t)`` closures.
+
+Field routing by name:
+
+- keys matching :class:`PrescribedAtmosForcing` fields (``u_atm``,
+  ``theta_atm``, ``q_atm``, ``z_atm``, ``theta_scale``, ``rho_a_sfc``)
+  replace the top-face MOST forcing per step;
+- ``precipitation`` feeds the :class:`SurfaceWaterModel` rain rate
+  (LandModel runs only).
+
+Rows may be scalars (one value per step) or per-column ``(ncol...)``
+arrays — heterogeneous forcing shards with the columns under pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from landhydrology_tpu.domains import make_function_space
+from landhydrology_tpu.models.soil.boundary import (
+    PrescribedAtmosForcing,
+    SoilColumnBC,
+)
+from landhydrology_tpu.timestepping import AbstractTimestepper, SSPRK33
+
+Array = Any
+
+#: PrescribedAtmosForcing field names a forcing file may drive
+ATMOS_FIELDS = (
+    "u_atm", "theta_atm", "z_atm", "theta_scale", "rho_a_sfc", "q_atm",
+)
+
+
+def _split_routing(model, field_names):
+    """(atmos_keys, has_precip) after validating every field routes."""
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil = model.soil if is_land else model
+    top = soil.boundary_conditions.top
+    atmos = [k for k in field_names if k in ATMOS_FIELDS]
+    has_precip = "precipitation" in field_names
+    unknown = set(field_names) - set(atmos) - {"precipitation"}
+    if unknown:
+        raise KeyError(
+            f"forcing fields {sorted(unknown)} route nowhere; supported: "
+            f"{ATMOS_FIELDS + ('precipitation',)}"
+        )
+    if atmos and not isinstance(top, PrescribedAtmosForcing):
+        raise TypeError(
+            "atmospheric forcing fields require a PrescribedAtmosForcing "
+            f"top boundary; the model's top BC is {type(top).__name__}"
+        )
+    if has_precip and not is_land:
+        raise TypeError(
+            "'precipitation' forcing requires a LandModel (the rain rate "
+            "feeds its SurfaceWaterModel)"
+        )
+    return atmos, has_precip
+
+
+def make_forced_segment_run(
+    model,
+    stepper: AbstractTimestepper = SSPRK33(),
+    dt: float = 1.0,
+    field_names=(),
+):
+    """Build jitted ``run(Y, Ya, t0, forcing) -> (Y', t')`` advancing one
+    step per forcing row.
+
+    ``forcing``: dict of ``(n_steps, ...)`` arrays (leading axis = step);
+    each step rebuilds the MOST boundary / rain rate from its row and takes
+    one ``stepper`` step — all inside one ``lax.scan``, so the whole window
+    is a single device program.
+    """
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil = model.soil if is_land else model
+    grid = make_function_space(soil.domain, model.float_dtype)
+    dtype = model.float_dtype
+    atmos_keys, has_precip = _split_routing(model, tuple(field_names))
+    bc = soil.boundary_conditions
+
+    from landhydrology_tpu.models.soil.freeze_thaw import (
+        wrap_stepper_with_projection,
+    )
+
+    ft_owner = getattr(model, "soil", model)
+    if getattr(ft_owner, "freeze_thaw", None) is not None:
+        stepper = wrap_stepper_with_projection(stepper, ft_owner)
+
+    def _model_at(rows: Dict[str, Array]):
+        """Model with this step's forcing values installed (trace-time
+        closure construction only)."""
+        out = model
+        if atmos_keys:
+            top = dataclasses.replace(
+                bc.top, **{k: rows[k] for k in atmos_keys}
+            )
+            soil_t = dataclasses.replace(
+                soil,
+                boundary_conditions=SoilColumnBC(top=top, bottom=bc.bottom),
+            )
+            out = (
+                dataclasses.replace(model, soil=soil_t) if is_land else soil_t
+            )
+        if has_precip:
+            P = rows["precipitation"]
+            out = dataclasses.replace(
+                out,
+                surface=dataclasses.replace(
+                    out.surface, precipitation=lambda t: P
+                ),
+            )
+        return out
+
+    dt_a = jnp.asarray(dt, dtype=dtype)
+
+    def run(Y, Ya, t0, forcing: Dict[str, Array]):
+        def body(carry, rows):
+            Yc, t = carry
+            m = _model_at(rows)
+            rhs = m.make_rhs(grid)
+            Yn = stepper.step(rhs, Yc, Ya, t, dt_a)
+            return (Yn, t + dt_a), None
+
+        (Yf, tf), _ = jax.lax.scan(
+            body, (Y, jnp.asarray(t0, dtype=dtype)), forcing
+        )
+        return Yf, tf
+
+    return jax.jit(run)
+
+
+def run_forced(
+    model,
+    Y: dict,
+    Ya: dict,
+    reader,
+    stepper: AbstractTimestepper = SSPRK33(),
+    dt: float = 1.0,
+    t0: float = 0.0,
+    window: int = 256,
+    start: int = 0,
+    stop: Optional[int] = None,
+    fields=None,
+    on_window=None,
+):
+    """Integrate ``model`` from ``t0`` consuming forcing windows from a
+    :class:`~landhydrology_tpu.runtime.ForcingReader` — the end-to-end
+    production loop: the reader's background thread stages window k+1 while
+    the device integrates window k (JAX dispatches the jitted segment
+    asynchronously, so the host returns to staging immediately).
+
+    ``fields``: subset of ``reader.field_names`` to route (default: all).
+    ``on_window(i0, Y, t)``: optional host callback after each window's
+    dispatch (checkpointing, diagnostics).
+
+    Returns ``(Y, t)`` after ``stop - start`` steps (default: the whole
+    file).
+    """
+    from landhydrology_tpu.runtime.forcing import stream_windows
+
+    import numpy as np
+
+    fields = list(reader.field_names) if fields is None else list(fields)
+    dtype = model.float_dtype
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    batch = (model.soil if is_land else model).domain.batch_shape
+    ncol = int(np.prod(batch)) if batch else 1
+    seg = make_forced_segment_run(model, stepper, dt=dt, field_names=fields)
+
+    def _rows_to_array(k, v):
+        nt = v.shape[0]
+        flat = np.asarray(v).reshape(nt, -1)
+        if flat.shape[1] == 1:
+            return jnp.asarray(flat[:, 0], dtype=dtype)  # one value per step
+        if flat.shape[1] == ncol:
+            return jnp.asarray(flat.reshape((nt, *batch)), dtype=dtype)
+        raise ValueError(
+            f"forcing field {k!r} has {flat.shape[1]} columns; expected 1 "
+            f"or the model's {ncol} (batch {batch})"
+        )
+
+    t = t0
+    for i0, rows in stream_windows(reader, window, start=start, stop=stop):
+        forcing = {
+            k: _rows_to_array(k, v) for k, v in rows.items() if k in fields
+        }
+        # jitted + async: the device crunches this window while the reader's
+        # prefetch thread stages the next one
+        Y, t = seg(Y, Ya, t, forcing)
+        if on_window is not None:
+            on_window(i0, Y, t)
+    return Y, t

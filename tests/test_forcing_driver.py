@@ -1,0 +1,240 @@
+"""End-to-end forcing pipeline consumption (VERDICT r2 item 2): forcing
+files written with write_forcing stream through ForcingReader windows into
+jitted runs — windowed streaming must equal a single in-memory run exactly,
+and the native reader's prefetch must actually fire."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landhydrology_tpu import (
+    Column,
+    PrescribedAtmosForcing,
+    SoilColumnBC,
+    SoilComponentBC,
+    SoilEnergyModel,
+    SoilHydrologyModel,
+    SoilModel,
+    SoilParams,
+    VerticalFlux,
+    initialize_states,
+)
+from landhydrology_tpu.constants import default_earth_param_set as ps
+from landhydrology_tpu.models.soil import vanGenuchten
+from landhydrology_tpu.models.soil.heat import (
+    volumetric_heat_capacity,
+    volumetric_internal_energy,
+)
+from landhydrology_tpu.runtime import (
+    ForcingReader,
+    make_forced_segment_run,
+    run_forced,
+    write_forcing,
+)
+from landhydrology_tpu.timestepping import SSPRK33
+
+NZ, NCOL = 12, 16
+DT = 60.0
+
+
+def _atmos_soil():
+    return SoilModel(
+        domain=Column(zlim=(-1.5, 0.0), nelements=NZ, batch_shape=(NCOL,)),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=1e-6,
+                                         theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=PrescribedAtmosForcing(
+                u_atm=2.0, theta_atm=300.0, z_atm=2.0, theta_scale=300.0,
+                rho_a_sfc=1.2, q_atm=0.005,
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3, rho_c_ds=1.3e6),
+    )
+
+
+def _ic(z, m):
+    shape = (NZ, NCOL)
+    th = jnp.broadcast_to(
+        0.15 + 0.1 * jnp.linspace(0.0, 1.0, NCOL)[None, :], shape
+    )
+    ti = jnp.zeros(shape)
+    rcs = volumetric_heat_capacity(th, ti, 1.3e6, ps)
+    return {
+        "vartheta_l": th,
+        "theta_i": ti,
+        "rho_e_int": volumetric_internal_energy(
+            ti, rcs, jnp.full(shape, 290.0), ps
+        ),
+    }
+
+
+def _diurnal_forcing(n_steps, rng):
+    """Synthetic diurnal reanalysis slice: per-column wind/temperature/
+    humidity cycles with random per-column phase."""
+    t = np.arange(n_steps) * DT
+    phase = rng.uniform(0.0, 2 * np.pi, NCOL)
+    day = 2 * np.pi * t[:, None] / 86400.0 + phase[None, :]
+    return {
+        "u_atm": (2.0 + 1.5 * np.sin(day)).astype(np.float64),
+        "theta_atm": (295.0 + 8.0 * np.sin(day - 0.5)).astype(np.float64),
+        "q_atm": (0.004 + 0.002 * np.cos(day)).astype(np.float64),
+    }
+
+
+def test_windowed_streaming_matches_in_memory(tmp_path):
+    """run_forced over file windows == one in-memory segment over the full
+    forcing arrays, exactly; prefetch hits > 0 on the native reader."""
+    n_steps = 40
+    rng = np.random.default_rng(0)
+    fields = _diurnal_forcing(n_steps, rng)
+    path = str(tmp_path / "forcing.bin")
+    write_forcing(path, np.arange(n_steps) * DT, fields)
+
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+
+    # in-memory reference: one scan over the full rows
+    seg = make_forced_segment_run(
+        model, SSPRK33(), dt=DT, field_names=sorted(fields)
+    )
+    forcing_mem = {k: jnp.asarray(v) for k, v in fields.items()}
+    Yref, tref = seg(Y, Ya, 0.0, forcing_mem)
+
+    with ForcingReader(path) as reader:
+        # window does not divide n_steps: exercises the tail window too
+        Yf, tf = run_forced(
+            model, Y, Ya, reader, SSPRK33(), dt=DT, window=16
+        )
+        hits = reader.prefetch_hits
+        native = reader.is_native
+    assert float(tf) == pytest.approx(float(tref))
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yref["soil"][k]),
+            rtol=1e-13, atol=1e-18, err_msg=k,
+        )
+    if native:
+        assert hits > 0  # the background prefetch actually served reads
+    # the forcing actually did something: columns diverge from a
+    # constant-forcing run
+    const = {
+        k: jnp.broadcast_to(jnp.asarray(v[:1]), v.shape)
+        for k, v in fields.items()
+    }
+    Yc, _ = seg(Y, Ya, 0.0, const)
+    assert (
+        float(
+            jnp.max(
+                jnp.abs(Yc["soil"]["rho_e_int"] - Yf["soil"]["rho_e_int"])
+            )
+        )
+        > 0.0
+    )
+
+
+def test_forced_land_precipitation_ponds(tmp_path):
+    """'precipitation' rows drive the LandModel pond: a rain pulse in the
+    file makes h_s grow then drain, matching the in-memory run exactly."""
+    from landhydrology_tpu.models.land import (
+        LandModel,
+        SurfaceWaterModel,
+        initialize_states as land_init,
+    )
+
+    n_steps = 30
+    rain = np.zeros((n_steps, NCOL))
+    rain[5:15] = 8e-6  # pulse above the tight soil's capacity
+    fields = {"precipitation": rain, **_diurnal_forcing(n_steps,
+                                                        np.random.default_rng(1))}
+    path = str(tmp_path / "forcing_land.bin")
+    write_forcing(path, np.arange(n_steps) * DT, fields)
+
+    soil = dataclasses.replace(
+        _atmos_soil(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=2e-7,
+                                         theta_r=0.05)
+        ),
+    )
+    land = LandModel(soil=soil, surface=SurfaceWaterModel(tau_pond=240.0))
+    Y, Ya = land_init(land, _ic, 0.0, h_s0=0.0)
+
+    seg = make_forced_segment_run(
+        land, SSPRK33(), dt=DT, field_names=sorted(fields)
+    )
+    Yref, _ = seg(Y, Ya, 0.0, {k: jnp.asarray(v) for k, v in fields.items()})
+
+    with ForcingReader(path) as reader:
+        Yf, _ = run_forced(land, Y, Ya, reader, SSPRK33(), dt=DT, window=8)
+
+    assert float(jnp.max(Yref["surface"]["h_s"])) > 1e-5  # pulse ponded
+    np.testing.assert_allclose(
+        np.asarray(Yf["surface"]["h_s"]), np.asarray(Yref["surface"]["h_s"]),
+        rtol=1e-13, atol=1e-18,
+    )
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yref["soil"][k]),
+            rtol=1e-13, atol=1e-18, err_msg=k,
+        )
+
+
+def test_forcing_field_routing_validation():
+    model = _atmos_soil()
+    with pytest.raises(KeyError, match="route nowhere"):
+        make_forced_segment_run(model, field_names=("u_atm", "banana"))
+    with pytest.raises(TypeError, match="LandModel"):
+        make_forced_segment_run(model, field_names=("precipitation",))
+    no_atmos = dataclasses.replace(
+        model,
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+    )
+    with pytest.raises(TypeError, match="PrescribedAtmosForcing"):
+        make_forced_segment_run(no_atmos, field_names=("u_atm",))
+
+
+def test_forced_run_under_pjit_sharding(tmp_path):
+    """Per-column forcing rows shard with the columns: an 8-device pjit
+    forced run matches the single-device trajectory."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from landhydrology_tpu.parallel import make_column_mesh
+
+    n_steps = 16
+    fields = _diurnal_forcing(n_steps, np.random.default_rng(2))
+    path = str(tmp_path / "forcing_shard.bin")
+    write_forcing(path, np.arange(n_steps) * DT, fields)
+
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    with ForcingReader(path) as reader:
+        Y1, _ = run_forced(model, Y, Ya, reader, SSPRK33(), dt=DT, window=8)
+
+    mesh = make_column_mesh(shape=(8,), axis_names=("x",))
+    sh = NamedSharding(mesh, P(None, "x"))
+    Ys = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), Y)
+    with ForcingReader(path) as reader:
+        YN, _ = run_forced(model, Ys, Ya, reader, SSPRK33(), dt=DT, window=8)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(YN["soil"][k]), np.asarray(Y1["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
