@@ -50,16 +50,30 @@ STEPPERS = {
 }
 
 
-def _build_stepper(name: str):
+IMPLICIT_STEPPERS = ("BackwardEulerRichards", "BackwardEulerSoil", "TRBDF2Soil")
+
+
+def _build_stepper(name: str, model=None, iters=None):
     if name in STEPPERS:
         return STEPPERS[name]()
-    if name in ("BackwardEulerRichards", "BackwardEulerSoil"):
+    if name in IMPLICIT_STEPPERS:
         from landhydrology_tpu import imex
+        from landhydrology_tpu.domains import make_function_space
 
-        return getattr(imex, name)()
+        soil = getattr(model, "soil", model)
+        if soil is None or not hasattr(soil, "domain"):
+            raise TypeError(
+                f"{name} is an implicit soil stepper and needs the model "
+                "(tridiagonal assembly closes over the grid)"
+            )
+        grid = make_function_space(soil.domain, soil.float_dtype)
+        kwargs = {"model": soil, "grid": grid}
+        if iters is not None:
+            kwargs["iters"] = int(iters)
+        return getattr(imex, name)(**kwargs)
     raise KeyError(
         f"unknown stepper {name!r}; available: "
-        f"{sorted(STEPPERS) + ['BackwardEulerRichards', 'BackwardEulerSoil']}"
+        f"{sorted(STEPPERS) + sorted(IMPLICIT_STEPPERS)}"
     )
 
 
@@ -74,10 +88,43 @@ def _build_ic(model, spec: dict):
     from landhydrology_tpu.models.soil.model import SoilEnergyModel
     from landhydrology_tpu.models.soil.water import hydrostatic_profile
 
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    if is_land:
+        # soil IC spec applies to the soil component; the pond starts at
+        # ``h_s0`` (m, default dry)
+        from landhydrology_tpu.models.land import (
+            initialize_states as land_init,
+        )
+
+        soil_spec = dict(spec)
+        h_s0 = float(soil_spec.pop("h_s0", 0.0))
+        if soil_spec.get("kind", "default") == "default":
+            raise KeyError(
+                "LandModel configs need an explicit initial_conditions kind "
+                "('constant' or 'hydrostatic') plus optional h_s0 — the "
+                "soil default-IC shortcut does not cover the pond"
+            )
+        Y_soil_fn = _soil_ic_fn(model.soil, soil_spec)
+        return land_init(model, Y_soil_fn, soil_spec.get("t0", 0.0), h_s0=h_s0)
+
     kind = spec.get("kind", "default")
     if kind == "default":
         return model.default_initial_conditions()
+    return initialize_states(model, _soil_ic_fn(model, spec), spec.get("t0", 0.0))
 
+
+def _soil_ic_fn(model, spec: dict):
+    """The (z, model) -> state-dict IC closure for the declarative kinds."""
+    import jax.numpy as jnp
+
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+    from landhydrology_tpu.models.soil.model import SoilEnergyModel
+    from landhydrology_tpu.models.soil.water import hydrostatic_profile
+
+    kind = spec.get("kind", "constant")
     dynamic_energy = isinstance(model.energy_model, SoilEnergyModel)
 
     def ic(z, m):
@@ -106,7 +153,7 @@ def _build_ic(model, spec: dict):
             )
         return out
 
-    return initialize_states(model, ic, spec.get("t0", 0.0))
+    return ic
 
 
 def load_run(path: str):
@@ -117,13 +164,21 @@ def load_run(path: str):
         cfg = json.load(f)
     model = from_config(cfg["model"])
     sim = cfg.get("simulation", {})
-    stepper = _build_stepper(sim.get("stepper", "SSPRK33"))
+    stepper = _build_stepper(
+        sim.get("stepper", "SSPRK33"), model, sim.get("iters")
+    )
     Y, Ya = _build_ic(model, cfg.get("initial_conditions", {"kind": "default"}))
     sim_kwargs = dict(
         dt=float(sim["dt"]),
         tspan=(float(sim.get("t0", 0.0)), float(sim["t_final"])),
         saveat=float(sim["saveat"]) if "saveat" in sim else None,
     )
+    if "engine" in sim:
+        sim_kwargs["engine"] = sim["engine"]
+        if "steps_per_call" in sim:
+            sim_kwargs["steps_per_call"] = int(sim["steps_per_call"])
+        if "tile_cols" in sim:
+            sim_kwargs["tile_cols"] = int(sim["tile_cols"])
     return model, stepper, Y, Ya, sim_kwargs, cfg
 
 
@@ -133,6 +188,12 @@ def cmd_run(path: str) -> int:
     from landhydrology_tpu.simulations import Simulation
 
     model, stepper, Y, Ya, sim_kwargs, cfg = load_run(path)
+
+    adaptive_cfg = cfg.get("simulation", {}).get("adaptive")
+    if adaptive_cfg:
+        return _run_adaptive_cfg(
+            model, stepper, Y, Ya, sim_kwargs, cfg, adaptive_cfg
+        )
     sim = Simulation(model, stepper, Y_init=Y, Ya_init=Ya, **sim_kwargs)
 
     ckpt_cfg = cfg.get("checkpoint")
@@ -160,11 +221,13 @@ def cmd_run(path: str) -> int:
     out_cfg = cfg.get("output", {})
     out_path = out_cfg.get("path", "trajectory.npz")
     arrays = {"t": np.asarray(sol.ts)}
-    last = sol.state(len(sol) - 1)["soil"]
-    for k in last:
-        arrays[k] = np.stack(
-            [np.asarray(sol.state(i)["soil"][k]) for i in range(len(sol))]
-        )
+    last = sol.state(len(sol) - 1)
+    for group, fields in last.items():  # soil, surface, ... (LandModel)
+        for k in fields:
+            key = k if group == "soil" else f"{group}/{k}"
+            arrays[key] = np.stack(
+                [np.asarray(sol.state(i)[group][k]) for i in range(len(sol))]
+            )
     np.savez(out_path, **arrays)
     if manager is not None:
         nsteps = int(
@@ -178,18 +241,64 @@ def cmd_run(path: str) -> int:
     return 0
 
 
+def _run_adaptive_cfg(model, stepper, Y, Ya, sim_kwargs, cfg, adaptive_cfg) -> int:
+    """Error-controlled integration (``"simulation": {"adaptive": {...}}``):
+    one on-device while_loop from t0 to t_final; saves the final state (the
+    adaptive loop has no fixed save grid)."""
+    import numpy as np
+
+    from landhydrology_tpu.adaptive import AdaptiveConfig, run_adaptive
+
+    rhs = model.make_rhs()
+    t0, tf = sim_kwargs["tspan"]
+    acfg = AdaptiveConfig(
+        **{k: v for k, v in adaptive_cfg.items() if not isinstance(v, dict)}
+    )
+    Yf, stats = run_adaptive(
+        rhs, Y, Ya, t0, tf, sim_kwargs["dt"], stepper=stepper, config=acfg
+    )
+    if not bool(stats["converged"]):
+        raise RuntimeError(
+            f"adaptive integration did not reach t_final={tf}: {stats}"
+        )
+    out_path = cfg.get("output", {}).get("path", "trajectory.npz")
+    arrays = {"t": np.asarray([t0, tf])}
+    for group, fields in Yf.items():
+        for k in fields:
+            key = k if group == "soil" else f"{group}/{k}"
+            arrays[key] = np.stack(
+                [np.asarray(Y[group][k]), np.asarray(fields[k])]
+            )
+    np.savez(out_path, **arrays)
+    print(
+        f"wrote {out_path} (adaptive: {int(stats['n_accepted'])} accepted / "
+        f"{int(stats['n_rejected'])} rejected steps, "
+        f"dt_final={float(stats['dt_final']):.4g}s)"
+    )
+    return 0
+
+
 def cmd_describe(path: str) -> int:
     model, stepper, Y, Ya, sim_kwargs, _ = load_run(path)
     import jax
 
     n_state = sum(x.size for x in jax.tree_util.tree_leaves(Y))
+    soil = getattr(model, "soil", model)
     print(f"model: {type(model).__name__} (name={model.name!r})")
-    print(f"  energy:    {type(model.energy_model).__name__}")
-    print(f"  hydrology: {type(model.hydrology_model).__name__}")
-    print(f"  domain:    {model.domain}")
+    print(f"  energy:    {type(soil.energy_model).__name__}")
+    print(f"  hydrology: {type(soil.hydrology_model).__name__}")
+    print(f"  domain:    {soil.domain}")
+    if hasattr(model, "surface"):
+        sw = model.surface
+        print(
+            f"  surface:   {type(sw).__name__} "
+            f"(precipitation={type(sw.precipitation).__name__}, "
+            f"runoff={type(sw.runoff).__name__ if sw.runoff else None})"
+        )
     print(f"stepper: {type(stepper).__name__} ({stepper.stages} stage(s))")
     print(f"tspan: {sim_kwargs['tspan']}, dt: {sim_kwargs['dt']}")
-    print(f"state: {n_state} scalars in {list(Y['soil'])}")
+    print(f"state: {n_state} scalars in {sorted(Y)}: "
+          f"{ {g: sorted(v) for g, v in Y.items()} }")
     return 0
 
 
@@ -202,7 +311,7 @@ EXAMPLE = {
 }
 
 
-def cmd_example() -> int:
+def cmd_example(flagship: bool = False) -> int:
     from landhydrology_tpu import (
         Column,
         SoilColumnBC,
@@ -215,6 +324,9 @@ def cmd_example() -> int:
     )
     from landhydrology_tpu.config import to_config
     from landhydrology_tpu.models.soil import vanGenuchten
+
+    if flagship:
+        return _example_flagship()
 
     model = SoilModel(
         domain=Column(zlim=(-2.0, 0.0), nelements=32),
@@ -237,6 +349,69 @@ def cmd_example() -> int:
     return 0
 
 
+def _example_flagship() -> int:
+    """The rain + pond + MOST + energy + runoff-routing catchment config —
+    the full model zoo expressed declaratively (VERDICT r2 item 7)."""
+    from landhydrology_tpu import (
+        Column,
+        PrescribedAtmosForcing,
+        SoilColumnBC,
+        SoilComponentBC,
+        SoilEnergyModel,
+        SoilHydrologyModel,
+        SoilModel,
+        SoilParams,
+        VerticalFlux,
+    )
+    from landhydrology_tpu.config import to_config
+    from landhydrology_tpu.models.land import (
+        LandModel,
+        PulsePrecipitation,
+        RunoffRouting,
+        SurfaceWaterModel,
+    )
+    from landhydrology_tpu.models.soil import vanGenuchten
+
+    soil = SoilModel(
+        domain=Column(zlim=(-2.0, 0.0), nelements=24, batch_shape=(16, 16)),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=3e-7,
+                                         theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=PrescribedAtmosForcing(
+                u_atm=2.0, theta_atm=297.0, z_atm=2.0, theta_scale=297.0,
+                rho_a_sfc=1.2, q_atm=0.005,
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3, rho_c_ds=1.3e6),
+    )
+    land = LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=PulsePrecipitation(rate=8e-6, t_start=0.0,
+                                             t_stop=1800.0),
+            tau_pond=300.0,
+            runoff=RunoffRouting(conductance=1e-3, dx=10.0),
+        ),
+    )
+    cfg = {
+        "model": to_config(land),
+        "simulation": {"dt": 5.0, "t_final": 3600.0, "saveat": 900.0,
+                       "stepper": "SSPRK33"},
+        "initial_conditions": {"kind": "constant", "vartheta_l": 0.18,
+                               "T": 291.0, "h_s0": 0.0},
+        "output": {"path": "flagship_trajectory.npz"},
+    }
+    json.dump(cfg, sys.stdout, indent=2)
+    print()
+    return 0
+
+
 def main(argv: Any = None) -> int:
     p = argparse.ArgumentParser(prog="landhydrology_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -244,13 +419,18 @@ def main(argv: Any = None) -> int:
     p_run.add_argument("config")
     p_desc = sub.add_parser("describe", help="summarize a config without running")
     p_desc.add_argument("config")
-    sub.add_parser("example", help="print an example config to stdout")
+    p_ex = sub.add_parser("example", help="print an example config to stdout")
+    p_ex.add_argument(
+        "--flagship", action="store_true",
+        help="the full LandModel catchment config (rain + pond + MOST + "
+             "energy + runoff routing)",
+    )
     args = p.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args.config)
     if args.cmd == "describe":
         return cmd_describe(args.config)
-    return cmd_example()
+    return cmd_example(flagship=getattr(args, "flagship", False))
 
 
 if __name__ == "__main__":

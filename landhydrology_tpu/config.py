@@ -32,6 +32,14 @@ from landhydrology_tpu.models.soil.boundary import (
     SoilComponentBC,
     VerticalFlux,
 )
+from landhydrology_tpu.models.land import (
+    ConstantPrecipitation,
+    KinematicWaveRouting,
+    LandModel,
+    PulsePrecipitation,
+    RunoffRouting,
+    SurfaceWaterModel,
+)
 from landhydrology_tpu.models.soil.freeze_thaw import (
     EquilibriumFreezeThaw,
     FreezeThaw,
@@ -79,6 +87,12 @@ _REGISTRY = {
         SoilColumnBC,
         PrescribedAtmosForcing,
         BatchedBC,
+        LandModel,
+        SurfaceWaterModel,
+        RunoffRouting,
+        KinematicWaveRouting,
+        ConstantPrecipitation,
+        PulsePrecipitation,
     ]
 }
 

@@ -55,6 +55,35 @@ def _zero_precip(t):
 
 
 @dataclasses.dataclass(frozen=True)
+class ConstantPrecipitation:
+    """Declarative constant rain rate (m/s) — a callable config object so
+    the flagship LandModel serializes through ``config.py`` (arbitrary
+    Python closures cannot; cf. the reference's constructor-only config
+    surface, SURVEY.md §5)."""
+
+    rate: Array = 0.0
+
+    def __call__(self, t):
+        return jnp.asarray(self.rate)
+
+
+@dataclasses.dataclass(frozen=True)
+class PulsePrecipitation:
+    """Declarative rain pulse: ``rate`` for ``t_start <= t < t_stop``, dry
+    otherwise (trace-safe ``jnp.where``; composes with the fused kernel's
+    internal time stepping)."""
+
+    rate: Array = 1e-6
+    t_start: Array = 0.0
+    t_stop: Array = 3600.0
+
+    def __call__(self, t):
+        t = jnp.asarray(t)
+        on = (t >= self.t_start) & (t < self.t_stop)
+        return jnp.where(on, jnp.asarray(self.rate), 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
 class RunoffRouting:
     """Lateral routing of ponded water between neighboring columns on the
     2-D column grid (diffusive-wave approximation): only the pond excess
@@ -199,7 +228,9 @@ class SurfaceWaterModel(AbstractModel):
     Lipschitz for the explicit steppers and AD).
     """
 
-    precipitation: Callable[[Array], Array] = _zero_precip
+    precipitation: Callable[[Array], Array] = dataclasses.field(
+        default_factory=ConstantPrecipitation
+    )
     tau_pond: Array = 60.0
     #: lateral pond routing: RunoffRouting (head diffusion) or
     #: KinematicWaveRouting (Manning flow over topography)
