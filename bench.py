@@ -116,6 +116,54 @@ def build(nz, ncol, dtype, no_ice=False):
     return model, Y, Ya
 
 
+def build_land(nz, ncol, dtype):
+    """The flagship composition: the bench soil column + MOST atmosphere +
+    rain pulse + pond store (rain + ponding + evaporation + energy), for the
+    fused-LandModel bench row (VERDICT r2 item 3)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from landhydrology_tpu import (
+        PrescribedAtmosForcing,
+        SoilColumnBC,
+        SoilComponentBC,
+        VerticalFlux,
+    )
+    from landhydrology_tpu.models.land import (
+        LandModel,
+        PulsePrecipitation,
+        SurfaceWaterModel,
+        initialize_states as land_init,
+    )
+
+    model, Y, Ya = build(nz, ncol, dtype)
+    soil = dataclasses.replace(
+        model,
+        assume_no_ice=False,
+        boundary_conditions=SoilColumnBC(
+            top=PrescribedAtmosForcing(
+                u_atm=2.0, theta_atm=297.0, z_atm=2.0, theta_scale=297.0,
+                rho_a_sfc=1.2, q_atm=0.005,
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+    )
+    land = LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=PulsePrecipitation(rate=8e-6, t_start=0.0,
+                                             t_stop=1e9),
+            tau_pond=300.0,
+        ),
+    )
+    Yl = dict(Y)
+    Yl["surface"] = {"h_s": jnp.full((ncol,), 1e-4, dtype=dtype)}
+    return land, Yl, Ya
+
+
 def checksum(Y: dict):
     """Scalar checksum over ALL state components — the forced readback that
     defeats both the tunnel's unreliable block_until_ready and XLA's
@@ -170,8 +218,12 @@ def main():
     p.add_argument("--nz", type=int, default=64)
     p.add_argument("--ncol", type=int, default=65536)
     p.add_argument("--steps", type=int, default=96)
-    p.add_argument("--steps-per-call", type=int, default=48)
-    p.add_argument("--tile-cols", type=int, default=512)
+    p.add_argument("--steps-per-call", type=int, default=32)
+    p.add_argument("--tile-cols", type=int, default=128)
+    p.add_argument("--land-tile-cols", type=int, default=512,
+                   help="the MOST multisection stacks 8 probe rows, and the "
+                        "surface solve amortizes best at wider tiles than "
+                        "the pure vertical sweep")
     p.add_argument("--dt", type=float, default=1.0)
     p.add_argument(
         "--no-ice",
@@ -307,6 +359,31 @@ def main():
     )
     Ysh, _ = run_sh_state(Ys_in, Yas_in, t0a)
 
+    # --- fused LandModel path (rain + pond + MOST + energy) ---
+    land, Yl, Yal = build_land(args.nz, args.ncol, dtype)
+    fused_land = make_fused_column_run(
+        land,
+        stepper,
+        dt=args.dt,
+        steps_per_call=args.steps_per_call,
+        tile_cols=min(args.land_tile_cols, args.ncol),
+        interpret=interpret,
+    )
+
+    @partial(jax.jit, static_argnums=2)
+    def run_land_sum(Y, t0, n_calls):
+        def body(carry, _):
+            Y, t = carry
+            return (fused_land(Y, t), t + args.steps_per_call * args.dt), None
+
+        (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=n_calls)
+        return checksum(Yf)
+
+    gps_land, t_land_lo, t_land_hi = two_point_rate(
+        lambda n: (lambda: run_land_sum(Yl, t0a, n)),
+        n_calls, 4 * n_calls, points * args.steps_per_call,
+    )
+
     # cross-check the paths agree (f32 tolerance over n_steps)
     import numpy as np
 
@@ -336,6 +413,8 @@ def main():
             "pallas_grid_points_per_s": gps_pal,
             "sharded_fused_grid_points_per_s": gps_sh,
             "sharded_vs_plain_fused": gps_sh / gps_pal,
+            "land_fused_grid_points_per_s": gps_land,
+            "land_vs_plain_fused": gps_land / gps_pal,
             "paths_agree": ok,
             "max_dev": max_dev,
             "max_dev_sharded": max_dev_sh,

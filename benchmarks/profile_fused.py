@@ -32,10 +32,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 TRANSCENDENTAL = {"exp", "log", "pow", "tanh", "log1p", "expm1", "logistic"}
 #: cheap elementwise VPU ops (one issue slot each)
 CHEAP = {
-    "add", "sub", "mul", "div", "max", "min", "select_n", "abs", "neg",
+    "add", "sub", "mul", "max", "min", "select_n", "abs", "neg",
     "sign", "floor", "integer_pow", "and", "or", "not", "xor", "ne", "eq",
-    "lt", "le", "gt", "ge", "convert_element_type", "rsqrt", "sqrt",
+    "lt", "le", "gt", "ge", "convert_element_type",
 }
+#: multi-pass VPU ops (measured ~6x a mul on v5e when the divisor/operand
+#: is an array; scalar-divisor divisions are strength-reduced by XLA to a
+#: reciprocal multiply and classified cheap below)
+SLOW_VPU = {"div", "sqrt", "rsqrt"}
 
 
 def count_element_ops(jaxpr) -> dict:
@@ -44,11 +48,21 @@ def count_element_ops(jaxpr) -> dict:
     from jax._src.core import ClosedJaxpr
     import numpy as np
 
-    totals = {"transcendental": 0.0, "cheap": 0.0, "other": 0.0, "by_prim": {}}
+    totals = {
+        "transcendental": 0.0, "cheap": 0.0, "slow_vpu": 0.0, "other": 0.0,
+        "by_prim": {},
+    }
 
     def size_of(eqn):
         return float(
             sum(np.prod(v.aval.shape, dtype=float) for v in eqn.outvars)
+        )
+
+    def _all_array_operands(eqn):
+        return all(
+            np.prod(getattr(v, "aval", v).shape, dtype=float) > 1
+            for v in eqn.invars
+            if hasattr(v, "aval")
         )
 
     def visit(jxp, mult):
@@ -69,7 +83,9 @@ def count_element_ops(jaxpr) -> dict:
             totals["by_prim"][name] = totals["by_prim"].get(name, 0.0) + n
             if name in TRANSCENDENTAL:
                 totals["transcendental"] += n
-            elif name in CHEAP:
+            elif name in SLOW_VPU and _all_array_operands(eqn):
+                totals["slow_vpu"] += n
+            elif name in CHEAP or name in SLOW_VPU:
                 totals["cheap"] += n
             else:
                 totals["other"] += n
@@ -147,7 +163,8 @@ def main():
     )
     ops = count_element_ops(jaxpr)
     per_pt = {
-        k: ops[k] / points for k in ("transcendental", "cheap", "other")
+        k: ops[k] / points
+        for k in ("transcendental", "cheap", "slow_vpu", "other")
     }
     top_prims = dict(
         sorted(ops["by_prim"].items(), key=lambda kv: -kv[1])[:12]
@@ -192,6 +209,22 @@ def main():
 
     fma_rate, _, _ = two_point_rate(
         lambda n: (lambda: fma_chain(x0, n)), 4 * base, 16 * base,
+        INNER * points,
+    )
+
+    @partial(jax.jit, static_argnums=1)
+    def recip_chain(x, n):
+        def body(x, c):
+            for _ in range(INNER):
+                x = 1.0 / (x + c)
+            return x, None
+
+        cs = 1.02 + jnp.arange(n, dtype=dtype) * 1e-9
+        x, _ = jax.lax.scan(body, x, cs)
+        return x.sum()
+
+    recip_rate, _, _ = two_point_rate(
+        lambda n: (lambda: recip_chain(x0, n)), base, 4 * base,
         INNER * points,
     )
 
@@ -267,10 +300,16 @@ def main():
 
     achieved_trans = per_pt["transcendental"] * stages * pts_per_s
     achieved_cheap = per_pt["cheap"] * stages * pts_per_s
+    achieved_slow = per_pt["slow_vpu"] * stages * pts_per_s
     # HBM per step: 3 state arrays in + out, amortized over steps_per_call
     hbm_per_step = 2 * 3 * points * 4 / args.steps_per_call
     achieved_hbm = hbm_per_step * pts_per_s / points
 
+    combined = (
+        achieved_trans / exp_rate
+        + achieved_cheap / fma_rate
+        + achieved_slow / recip_rate
+    )
     result = {
         "shape": {"nz": nz, "ncol": ncol, "steps_per_call": args.steps_per_call,
                   "tile_cols": args.tile_cols, "no_ice": args.no_ice},
@@ -284,21 +323,24 @@ def main():
         "microbench": {
             "exp_per_s": exp_rate,
             "fma_per_s": fma_rate,
+            "recip_per_s": recip_rate,
             "hbm_bytes_per_s": hbm_rate,
         },
         "achieved": {
             "transcendental_per_s": achieved_trans,
             "cheap_ops_per_s": achieved_cheap,
+            "slow_vpu_ops_per_s": achieved_slow,
             "hbm_bytes_per_s": achieved_hbm,
         },
         "utilization_vs_microbench": {
             "transcendental": achieved_trans / exp_rate,
             "cheap_vpu": achieved_cheap / fma_rate,
+            "slow_vpu": achieved_slow / recip_rate,
             "hbm": achieved_hbm / hbm_rate,
-            # issue-slot model: transcendentals and cheap ops share VPU issue
-            # bandwidth; their combined fraction is the real occupancy bound
-            "combined_issue": achieved_trans / exp_rate
-            + achieved_cheap / fma_rate,
+            # issue-slot model: the three elementwise classes share VPU
+            # issue bandwidth; their combined fraction is the occupancy
+            # bound (1.0 = the measured speed of light for this op mix)
+            "combined_issue": combined,
         },
         "backend": jax.default_backend(),
     }

@@ -28,7 +28,11 @@ def main():
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--lateral", action="store_true",
                    help="include halo-exchanged lateral coupling")
-    p.add_argument("--mode", choices=["pjit", "shard_map"], default="pjit")
+    p.add_argument("--mode", choices=["pjit", "shard_map", "fused"],
+                   default="pjit",
+                   help="'fused' = the Pallas kernel inside shard_map "
+                        "(the production multi-chip hot loop)")
+    p.add_argument("--steps-per-call", type=int, default=16)
     args = p.parse_args()
 
     import jax
@@ -60,11 +64,18 @@ def main():
     from landhydrology_tpu.models.soil.model import LateralSurfaceCoupling
     from landhydrology_tpu.parallel import make_column_mesh, shard_state
     from landhydrology_tpu.parallel.mesh import near_square_factors
-    from landhydrology_tpu.parallel.stepping import make_sharded_run
+    from landhydrology_tpu.parallel.stepping import (
+        make_fused_sharded_run,
+        make_sharded_run,
+    )
     from landhydrology_tpu.timestepping import SSPRK33
 
     all_devices = jax.devices()
-    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    # f32 everywhere: this is a throughput harness, and without
+    # jax_enable_x64 a requested f64 would silently canonicalize to f32 in
+    # array creation while explicit ShapeDtypeStructs (the Pallas kernel's
+    # outputs) would keep f64 — a guaranteed dtype mismatch on the fused path
+    dtype = jnp.float32
 
     def run_on(n_dev):
         devices = all_devices[:n_dev]
@@ -112,9 +123,17 @@ def main():
         Y, Ya = initialize_states(model, ic, 0.0)
         mesh = make_column_mesh(shape=mesh_shape, devices=devices)
         Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
-        run = make_sharded_run(
-            model, mesh, SSPRK33(), dt=1.0, n_steps=args.steps, mode=args.mode
-        )
+        if args.mode == "fused":
+            spc = max(1, min(args.steps_per_call, args.steps))
+            run = make_fused_sharded_run(
+                model, mesh, SSPRK33(), dt=1.0, steps_per_call=spc,
+                n_calls=max(1, args.steps // spc),
+            )
+        else:
+            run = make_sharded_run(
+                model, mesh, SSPRK33(), dt=1.0, n_steps=args.steps,
+                mode=args.mode,
+            )
         t0 = jnp.asarray(0.0, dtype=dtype)
         jax.block_until_ready(run(Ys, Yas, t0))  # compile + warm
         best = float("inf")

@@ -39,13 +39,27 @@ Array = Any
 #: Businger stable-regime slope and turbulent Prandtl number
 _BUSINGER_A = 4.7
 _PRANDTL_0 = 0.74
-#: fixed iteration count of the Obukhov-length bisection: each halving of
-#: the bracket [-50, 50]/z_atm gains one bit, so 62 iterations reach
-#: machine-precision |delta Linv| across the full stable/unstable/neutral
-#: validation grid (tests/soil/test_most_oracle.py).  A damped fixed point
-#: was used originally but fails to converge in low-wind stable states
-#: (the update map expands there) — found by the independent Brent oracle.
-_N_ITER = 62
+#: the Obukhov-length root find is an 8-point **multisection** search: each
+#: round evaluates the consistency equation at 8 equally spaced interior
+#: points *as one stacked (8, batch) array* and keeps the first
+#: sign-change subinterval, shrinking the bracket 9x per round.  Two
+#: reasons over plain bisection (which this replaced):
+#:
+#: - **TPU layout**: the solve runs on (ncol,)-shaped top-face vectors —
+#:   one sublane of each (8, 128) vreg.  Stacking the 8 probe points fills
+#:   the sublane axis, so a round costs about one *full-utilization* sweep
+#:   where a bisection step cost a 1/8-utilization sweep; 11 rounds (f32)
+#:   replace 62 thin iterations (~40x fewer vector issue slots — this was
+#:   the single hottest thing in the fused LandModel/MOST kernel).
+#: - **unconditional convergence** is inherited from bracketing (a damped
+#:   fixed point diverged in low-wind stable states; found by the Brent
+#:   oracle in tests/soil/test_most_oracle.py).
+#:
+#: Rounds: 9^20 > 2^62 reaches f64 machine precision; 9^11 > 2^32 exceeds
+#: f32 resolution of Linv.  The count is picked from the operand dtype.
+_N_SECTIONS = 8
+_N_ROUNDS_F64 = 20
+_N_ROUNDS_F32 = 11
 #: bisection bracket in zeta = z_atm/L units; beyond |zeta|=50 Businger
 #: similarity has no credible solution (critical-stability decoupling) and
 #: the bracketed answer saturates at the edge (a regularization, flagged by
@@ -129,7 +143,10 @@ def psi_m(zeta: Array) -> Array:
     """Integrated momentum stability function (Businger 1971)."""
     zeta = jnp.clip(zeta, _ZETA_MIN, _ZETA_MAX)
     zeta_un = jnp.minimum(zeta, 0.0)
-    x = (1.0 - 15.0 * zeta_un) ** 0.25
+    # quartic root as two sqrts: exact to ulp-level agreement with pow(x,
+    # 1/4) but two cheap VPU ops instead of an exp/log pair — the MOST
+    # bisection evaluates this ~2x per iteration in the fused kernel
+    x = jnp.sqrt(jnp.sqrt(1.0 - 15.0 * zeta_un))
     unstable = (
         jnp.log((1.0 + x) ** 2 * (1.0 + x * x) / 8.0)
         - 2.0 * arctan_kernel_safe(x)
@@ -146,6 +163,72 @@ def psi_h(zeta: Array) -> Array:
     y = jnp.sqrt(1.0 - 9.0 * zeta_un)
     unstable = 2.0 * jnp.log((1.0 + y) / 2.0)
     stable = -_BUSINGER_A / _PRANDTL_0 * jnp.maximum(zeta, 0.0)
+    return jnp.where(zeta < 0.0, unstable, stable)
+
+
+def _arctan_reduced(r: Array) -> Array:
+    """arctan for |r| <= ~0.75 (the difference-identity range): two
+    half-angle reductions + the odd Taylor polynomial — error < 2e-11 over
+    the domain, at a third of the general kernel's slow-op count."""
+    s = jnp.sign(r)
+    r = jnp.abs(r)
+    for _ in range(2):
+        r = r / (1.0 + jnp.sqrt(1.0 + r * r))
+    r2 = r * r
+    poly = r * (
+        1.0
+        + r2
+        * (
+            -1.0 / 3.0
+            + r2
+            * (
+                1.0 / 5.0
+                + r2 * (-1.0 / 7.0 + r2 * (1.0 / 9.0 + r2 * (-1.0 / 11.0)))
+            )
+        )
+    )
+    return s * 4.0 * poly
+
+
+def psi_m_diff(zeta: Array, zeta_0: Array) -> Array:
+    """``psi_m(zeta) - psi_m(zeta_0)`` for same-sign pairs (``zeta_0`` is
+    always ``zeta * z_0/z_atm``) — the only form the MOST solve consumes.
+
+    Algebraically identical to the two-call difference but with the
+    dominant transcendentals fused: the two logs combine into one log of a
+    ratio, and ``atan x - atan x_0 = atan((x - x_0)/(1 + x x_0))`` (valid
+    here since x, x_0 >= 1) needs ONE arctan of a small argument, where the
+    general kernel needed two full-range arctans.  This halves the hot cost
+    of every multisection probe (mathematically exact rewrite; floating-
+    point results differ at ulp level only)."""
+    zeta = jnp.clip(zeta, _ZETA_MIN, _ZETA_MAX)
+    zeta_0 = jnp.clip(zeta_0, _ZETA_MIN, _ZETA_MAX)
+    x = jnp.sqrt(jnp.sqrt(1.0 - 15.0 * jnp.minimum(zeta, 0.0)))
+    x0 = jnp.sqrt(jnp.sqrt(1.0 - 15.0 * jnp.minimum(zeta_0, 0.0)))
+    one_px = 1.0 + x
+    one_px0 = 1.0 + x0
+    ratio = (one_px * one_px * (1.0 + x * x)) / (
+        one_px0 * one_px0 * (1.0 + x0 * x0)
+    )
+    atan_arg = (x - x0) / (1.0 + x * x0)
+    unstable = jnp.log(ratio) - 2.0 * _arctan_reduced(atan_arg)
+    stable = -_BUSINGER_A * (jnp.maximum(zeta, 0.0) - jnp.maximum(zeta_0, 0.0))
+    return jnp.where(zeta < 0.0, unstable, stable)
+
+
+def psi_h_diff(zeta: Array, zeta_0: Array) -> Array:
+    """``psi_h(zeta) - psi_h(zeta_0)`` for same-sign pairs — one log of a
+    ratio instead of two (see :func:`psi_m_diff`)."""
+    zeta = jnp.clip(zeta, _ZETA_MIN, _ZETA_MAX)
+    zeta_0 = jnp.clip(zeta_0, _ZETA_MIN, _ZETA_MAX)
+    y = jnp.sqrt(1.0 - 9.0 * jnp.minimum(zeta, 0.0))
+    y0 = jnp.sqrt(1.0 - 9.0 * jnp.minimum(zeta_0, 0.0))
+    unstable = 2.0 * jnp.log((1.0 + y) / (1.0 + y0))
+    stable = (
+        -_BUSINGER_A
+        / _PRANDTL_0
+        * (jnp.maximum(zeta, 0.0) - jnp.maximum(zeta_0, 0.0))
+    )
     return jnp.where(zeta < 0.0, unstable, stable)
 
 
@@ -171,12 +254,13 @@ def surface_conditions(
     Obukhov length ``L`` (the role of SurfaceFluxes.jl `surface_conditions`,
     ``boundary_conditions.jl:595-604``).
 
-    Fully vectorized over any broadcastable batch of columns: a fixed
-    ``_N_ITER``-step bisection of the Obukhov consistency equation
+    Fully vectorized over any broadcastable batch of columns: a fixed-round
+    8-point **multisection** root find of the Obukhov consistency equation
     ``f(1/L) = 1/L - kappa g theta_v_star / (u_star^2 theta_scale)`` on the
-    bracket ``|zeta| <= _ZETA_BRACKET`` — branch-free (``jnp.where`` interval
-    updates inside ``lax.fori_loop``), so it jits, vmaps, and lowers inside
-    the fused Pallas kernel.  Bisection converges unconditionally; the
+    bracket ``|zeta| <= _ZETA_BRACKET`` (see the ``_N_SECTIONS`` note for
+    why multisection — TPU sublane occupancy) — branch-free, so it jits,
+    vmaps, and lowers inside the fused Pallas kernel.  Bracketing
+    converges unconditionally to the first sign change; the
     returned ``residual`` is the final half-bracket width on 1/L (machine
     precision when a root exists; large when the state sits in the
     critical-stability decoupling regime where the bracketed answer
@@ -204,12 +288,12 @@ def surface_conditions(
         zeta = z_atm * Linv
         zeta_0m = z_0m * Linv
         zeta_0s = z_0s * Linv
-        denom_m = log_m - psi_m(zeta) + psi_m(zeta_0m)
+        denom_m = log_m - psi_m_diff(zeta, zeta_0m)
         # scalar profile carries the turbulent Prandtl number:
         # phi_h(0) = Pr_0 (Businger), so the integrated denominator is
         # Pr_0 * (ln(z/z0) - psi_h(zeta) + psi_h(zeta_0)) with psi_h in its
         # Pr-stripped form
-        denom_s = _PRANDTL_0 * (log_s - psi_h(zeta) + psi_h(zeta_0s))
+        denom_s = _PRANDTL_0 * (log_s - psi_h_diff(zeta, zeta_0s))
         # keep denominators away from 0 (can cross in extreme instability)
         denom_m = jnp.maximum(denom_m, 1e-3)
         denom_s = jnp.maximum(denom_s, 1e-3)
@@ -231,19 +315,38 @@ def surface_conditions(
 
     lo = zero - _ZETA_BRACKET / z_atm
     hi = zero + _ZETA_BRACKET / z_atm
-    f_lo = f(lo)
+    # only the SIGN of f(lo) matters: every kept subinterval has its left
+    # endpoint on the same side of the (first) root as the original lo, so
+    # s_lo is loop-invariant and f never needs re-evaluating at an endpoint
+    s_lo = jnp.sign(f(lo))
+    s_lo = jnp.where(s_lo == 0.0, 1.0, s_lo)
+    n_rounds = (
+        _N_ROUNDS_F64 if zero.dtype == jnp.float64 else _N_ROUNDS_F32
+    )
+    k = _N_SECTIONS
+    inv = 1.0 / (k + 1.0)
 
     def body(i, carry):
-        lo, hi, f_lo = carry
-        mid = 0.5 * (lo + hi)
-        f_mid = f(mid)
-        same_side = f_mid * f_lo > 0.0  # mid is on lo's side of the root
-        lo_next = jnp.where(same_side, mid, lo)
-        f_lo_next = jnp.where(same_side, f_mid, f_lo)
-        hi_next = jnp.where(same_side, hi, mid)
-        return (lo_next, hi_next, f_lo_next)
+        lo, hi = carry
+        w = hi - lo
+        # (k, batch) probe stack built from Python-float coefficients (a
+        # traced stack, not a captured array constant — Pallas-safe)
+        mids = jnp.stack([lo + ((r + 1.0) * inv) * w for r in range(k)])
+        f_mids = f(mids)
+        # j = number of leading probes still on lo's side (prefix-AND,
+        # unrolled over the static k — no gathers, Mosaic-safe)
+        alive = f_mids[0] * s_lo > 0.0
+        j = alive.astype(zero.dtype)
+        for r in range(1, k):
+            alive = alive & (f_mids[r] * s_lo > 0.0)
+            j = j + alive.astype(zero.dtype)
+        # equally spaced probes: the bracketing subinterval is
+        # [lo + j w/(k+1), lo + (j+1) w/(k+1)] without any indexing
+        lo_next = lo + j * inv * w
+        hi_next = lo + jnp.minimum(j + 1.0, k + 1.0) * inv * w
+        return (lo_next, hi_next)
 
-    lo, hi, _ = jax.lax.fori_loop(0, _N_ITER, body, (lo, hi, f_lo))
+    lo, hi = jax.lax.fori_loop(0, n_rounds, body, (lo, hi))
     Linv = 0.5 * (lo + hi)
     delta = 0.5 * (hi - lo)
     u_star, theta_star, q_star = stars(Linv)
