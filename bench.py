@@ -116,10 +116,13 @@ def build(nz, ncol, dtype, no_ice=False):
     return model, Y, Ya
 
 
-def build_land(nz, ncol, dtype):
+def build_land(nz, ncol, dtype, surface_update="stage"):
     """The flagship composition: the bench soil column + MOST atmosphere +
     rain pulse + pond store (rain + ponding + evaporation + energy), for the
-    fused-LandModel bench row (VERDICT r2 item 3)."""
+    fused-LandModel bench row (VERDICT r2 item 3).
+
+    ``surface_update="step"`` freezes the two MOST multisection solves per
+    step instead of per RK stage (LandModel.surface_update)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -158,6 +161,7 @@ def build_land(nz, ncol, dtype):
                                              t_stop=1e9),
             tau_pond=300.0,
         ),
+        surface_update=surface_update,
     )
     Yl = dict(Y)
     Yl["surface"] = {"h_s": jnp.full((ncol,), 1e-4, dtype=dtype)}
@@ -230,7 +234,22 @@ def main():
         action="store_true",
         help="exact assume_no_ice specialization (theta_i == 0 workloads)",
     )
+    p.add_argument(
+        "--land-surface-update", type=str, default="stage",
+        choices=("stage", "step"),
+        help="LandModel.surface_update for the land path: 'stage' = MOST "
+             "solves in every RK stage (reference semantics), 'step' = "
+             "frozen per step (first-order surface split, ~3x fewer MOST "
+             "solves)",
+    )
+    p.add_argument(
+        "--paths", type=str, default="xla,pallas,sharded,land",
+        help="comma-separated subset of {xla,pallas,sharded,land} to "
+             "measure (xla and pallas are always on; trimming sharded/land "
+             "keeps very large --ncol runs inside a sane wall-clock)",
+    )
     args = p.parse_args()
+    paths = set(args.paths.split(","))
 
     import jax
 
@@ -265,8 +284,13 @@ def main():
     points = args.nz * args.ncol
 
     # --- xla scan path ---
-    @partial(jax.jit, static_argnums=2)
-    def run_xla(Y, t0, n_steps):
+    # NOTE: Ya (which carries the (nz, ncol) coordinate field) is passed as
+    # an explicit argument, never closure-captured: a captured device array
+    # is baked into the serialized program, and at reanalysis scale
+    # (8.4M columns -> ~0.5 GB of zc) that overflows the remote-compile
+    # request of the tunneled TPU backend (HTTP 413).
+    @partial(jax.jit, static_argnums=3)
+    def run_xla(Y, Ya, t0, n_steps):
         def body(carry, _):
             Y, t = carry
             return (stepper.step(rhs, Y, Ya, t, dt), t + dt), None
@@ -274,16 +298,16 @@ def main():
         (Yf, tf), _ = jax.lax.scan(body, (Y, t0), None, length=n_steps)
         return Yf
 
-    @partial(jax.jit, static_argnums=2)
-    def run_xla_sum(Y, t0, n_steps):
-        return checksum(run_xla(Y, t0, n_steps))
+    @partial(jax.jit, static_argnums=3)
+    def run_xla_sum(Y, Ya, t0, n_steps):
+        return checksum(run_xla(Y, Ya, t0, n_steps))
 
     t0a = jnp.asarray(0.0, dtype=dtype)
     gps_xla, t_xla_lo, t_xla_hi = two_point_rate(
-        lambda n: (lambda: run_xla_sum(Y, t0a, n)),
+        lambda n: (lambda: run_xla_sum(Y, Ya, t0a, n)),
         args.steps, 4 * args.steps, points,
     )
-    Yx = run_xla(Y, t0a, args.steps)  # state for the agreement check
+    Yx = run_xla(Y, Ya, t0a, args.steps)  # state for the agreement check
 
     # --- pallas fused path ---
     interpret = jax.default_backend() != "tpu"
@@ -318,71 +342,82 @@ def main():
 
     # --- sharded fused path (the multi-chip hot loop, here on a 1-device
     # mesh: measures shard_map overhead over the plain fused kernel) ---
-    from landhydrology_tpu.parallel import (
-        make_column_mesh,
-        make_fused_sharded_run,
-        shard_state,
-    )
+    gps_sh = t_sh_lo = t_sh_hi = None
+    Ysh = Yp
+    if "sharded" in paths:
+        from landhydrology_tpu.parallel import (
+            make_column_mesh,
+            make_fused_sharded_run,
+            shard_state,
+        )
 
-    mesh1 = make_column_mesh(
-        shape=(1,), axis_names=("columns",), devices=jax.devices()[:1]
-    )
-    Ys_in = shard_state(Y, mesh1)
-    Yas_in = shard_state(Ya, mesh1)
+        mesh1 = make_column_mesh(
+            shape=(1,), axis_names=("columns",), devices=jax.devices()[:1]
+        )
+        Ys_in = shard_state(Y, mesh1)
+        Yas_in = shard_state(Ya, mesh1)
 
-    def make_sharded(n):
-        run = make_fused_sharded_run(
-            model,
-            mesh1,
+        def make_sharded(n):
+            run = make_fused_sharded_run(
+                model,
+                mesh1,
+                stepper,
+                dt=args.dt,
+                steps_per_call=args.steps_per_call,
+                n_calls=n,
+                tile_cols=args.tile_cols,
+                interpret=interpret,
+            )
+
+            @jax.jit
+            def run_sum(Ys, Yas, t0):
+                Yf, _ = run(Ys, Yas, t0)
+                return checksum(Yf)
+
+            return lambda: run_sum(Ys_in, Yas_in, t0a)
+
+        gps_sh, t_sh_lo, t_sh_hi = two_point_rate(
+            make_sharded, n_calls, 4 * n_calls, points * args.steps_per_call,
+        )
+        run_sh_state = make_fused_sharded_run(
+            model, mesh1, stepper, dt=args.dt,
+            steps_per_call=args.steps_per_call, n_calls=n_calls,
+            tile_cols=args.tile_cols, interpret=interpret,
+        )
+        Ysh, _ = run_sh_state(Ys_in, Yas_in, t0a)
+
+    # --- fused LandModel path (rain + pond + MOST + energy) ---
+    gps_land = t_land_lo = t_land_hi = None
+    if "land" in paths:
+        land, Yl, Yal = build_land(
+            args.nz, args.ncol, dtype,
+            surface_update=args.land_surface_update,
+        )
+        fused_land = make_fused_column_run(
+            land,
             stepper,
             dt=args.dt,
             steps_per_call=args.steps_per_call,
-            n_calls=n,
-            tile_cols=args.tile_cols,
+            tile_cols=min(args.land_tile_cols, args.ncol),
             interpret=interpret,
         )
 
-        @jax.jit
-        def run_sum():
-            Yf, _ = run(Ys_in, Yas_in, t0a)
+        @partial(jax.jit, static_argnums=2)
+        def run_land_sum(Y, t0, n_calls):
+            def body(carry, _):
+                Y, t = carry
+                return (
+                    fused_land(Y, t),
+                    t + args.steps_per_call * args.dt,
+                ), None
+
+            (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=n_calls)
             return checksum(Yf)
 
-        return run_sum
-
-    gps_sh, t_sh_lo, t_sh_hi = two_point_rate(
-        make_sharded, n_calls, 4 * n_calls, points * args.steps_per_call,
-    )
-    run_sh_state = make_fused_sharded_run(
-        model, mesh1, stepper, dt=args.dt,
-        steps_per_call=args.steps_per_call, n_calls=n_calls,
-        tile_cols=args.tile_cols, interpret=interpret,
-    )
-    Ysh, _ = run_sh_state(Ys_in, Yas_in, t0a)
-
-    # --- fused LandModel path (rain + pond + MOST + energy) ---
-    land, Yl, Yal = build_land(args.nz, args.ncol, dtype)
-    fused_land = make_fused_column_run(
-        land,
-        stepper,
-        dt=args.dt,
-        steps_per_call=args.steps_per_call,
-        tile_cols=min(args.land_tile_cols, args.ncol),
-        interpret=interpret,
-    )
-
-    @partial(jax.jit, static_argnums=2)
-    def run_land_sum(Y, t0, n_calls):
-        def body(carry, _):
-            Y, t = carry
-            return (fused_land(Y, t), t + args.steps_per_call * args.dt), None
-
-        (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=n_calls)
-        return checksum(Yf)
-
-    gps_land, t_land_lo, t_land_hi = two_point_rate(
-        lambda n: (lambda: run_land_sum(Yl, t0a, n)),
-        n_calls, 4 * n_calls, points * args.steps_per_call,
-    )
+        gps_land, t_land_lo, t_land_hi = two_point_rate(
+            lambda n: (lambda: run_land_sum(Yl, t0a, n)),
+            n_calls, 4 * n_calls, points * args.steps_per_call,
+        )
 
     # cross-check the paths agree (f32 tolerance over n_steps)
     import numpy as np
@@ -396,7 +431,7 @@ def main():
         np.isfinite(v_p).all() and max_dev < 1e-4 and max_dev_sh < 1e-6
     )
 
-    value = max(gps_pal, gps_xla, gps_sh)
+    value = max(x for x in (gps_pal, gps_xla, gps_sh) if x is not None)
     result = {
         "metric": "coupled soil-column grid-points/s per chip",
         "value": value,
@@ -412,9 +447,14 @@ def main():
             "xla_grid_points_per_s": gps_xla,
             "pallas_grid_points_per_s": gps_pal,
             "sharded_fused_grid_points_per_s": gps_sh,
-            "sharded_vs_plain_fused": gps_sh / gps_pal,
+            "sharded_vs_plain_fused": (
+                gps_sh / gps_pal if gps_sh is not None else None
+            ),
             "land_fused_grid_points_per_s": gps_land,
-            "land_vs_plain_fused": gps_land / gps_pal,
+            "land_vs_plain_fused": (
+                gps_land / gps_pal if gps_land is not None else None
+            ),
+            "land_surface_update": args.land_surface_update,
             "paths_agree": ok,
             "max_dev": max_dev,
             "max_dev_sharded": max_dev_sh,

@@ -248,10 +248,28 @@ class LandModel(AbstractModel):
         default_factory=SurfaceWaterModel
     )
     name: str = "land"
+    #: when to re-evaluate the surface exchange (MOST solves, potential
+    #: infiltration): ``"stage"`` = inside every RK stage (the reference's
+    #: semantics — SurfaceFluxes.jl runs inside each ``rhs!`` call,
+    #: ``boundary_conditions.jl:595-604``); ``"step"`` = once per time step,
+    #: frozen across the stages (a first-order splitting of the surface
+    #: coupling, same class as the lateral Lie split — the surface state
+    #: moves O(dt) per step while the two MOST multisection solves dominate
+    #: the per-stage cost, so this trades an O(dt) coupling error far below
+    #: the discretization error for ~3x fewer surface solves).  Enforced by
+    #: every engine (XLA scan, fused Pallas, pjit-sharded, fused-sharded)
+    #: via :class:`FrozenExchangeStepper`.
+    surface_update: str = "stage"
 
     def __post_init__(self):
         from landhydrology_tpu.models.soil.boundary import PrescribedAtmosForcing
         from landhydrology_tpu.models.soil.model import SoilEnergyModel
+
+        if self.surface_update not in ("stage", "step"):
+            raise ValueError(
+                "LandModel.surface_update must be 'stage' or 'step'; got "
+                f"{self.surface_update!r}"
+            )
 
         if not isinstance(self.soil.hydrology_model, SoilHydrologyModel):
             raise TypeError(
@@ -400,54 +418,143 @@ def surface_exchange(land: LandModel, grid: ColumnGrid, X: dict, h_s, t) -> dict
     return out
 
 
+def _exchange_from_state(
+    land: LandModel, grid: ColumnGrid, Y: dict, Ya: dict, t: Array
+) -> dict:
+    """The :func:`surface_exchange` rates evaluated at the state ``(Y, t)``
+    (the expensive part of the land rhs — two MOST multisection solves +
+    the potential-infiltration Dirichlet flux)."""
+    soil = land.soil
+    name = soil.name
+    h_s = Y[land.surface.name]["h_s"]
+    X = {
+        "vartheta_l": Y[name]["vartheta_l"],
+        "theta_i": Y[name]["theta_i"],
+        "T": _diagnose_state_T(soil, Y[name], Ya),
+    }
+    return surface_exchange(land, grid, X, h_s, t)
+
+
+def _rhs_given_exchange(
+    land: LandModel, grid: ColumnGrid, Y: dict, Ya: dict, t: Array, ex: dict
+) -> dict:
+    """The land tendency for fixed surface-exchange rates ``ex``.
+
+    Both sides of the component boundary consume the SAME ``ex`` values
+    (the soil top flux and the pond budget), so water closure
+    ``d/dt[column + h_s] = P - evap - bottom outflow`` holds identically
+    whether ``ex`` is re-evaluated per stage or frozen per step."""
+    soil = land.soil
+    name = soil.name
+    h_s = Y[land.surface.name]["h_s"]
+    infiltration = ex["infiltration"]
+
+    # soil sees the infiltration as a downward (negative) top flux plus
+    # its bare-soil evaporation (upward positive); the rhs closure is
+    # rebuilt per call with the coupled flux values — closure
+    # construction is trace-time-only work
+    bc = soil.boundary_conditions
+    if ex["heat_flux"] is not None:
+        energy_bc = VerticalFlux(ex["heat_flux"])
+    else:
+        energy_bc = getattr(bc.top, "energy", VerticalFlux(0.0))
+    soil_t = dataclasses.replace(
+        soil,
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(
+                hydrology=VerticalFlux(-infiltration + ex["evap_soil"]),
+                energy=energy_bc,
+            ),
+            bottom=bc.bottom,
+        ),
+    )
+    dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
+
+    dh_s = ex["P"] - infiltration - ex["evap_pond"]
+    if land.surface.runoff is not None:
+        dh_s = dh_s + routing_tendency(land.surface.runoff, h_s)
+    return {
+        name: dY_soil[name],
+        land.surface.name: {"h_s": dh_s},
+    }
+
+
 def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
     """Composed tendency function over the land state
-    ``{"soil": {...}, "surface": {"h_s": ...}}``."""
+    ``{"soil": {...}, "surface": {"h_s": ...}}``.
+
+    Always evaluates the surface exchange at the rhs call's own ``(Y, t)``
+    (stage-level semantics).  ``LandModel(surface_update="step")`` is
+    realized one level up, by the step drivers wrapping the stepper in
+    :class:`FrozenExchangeStepper`; the rhs itself stays exact so direct
+    ``rhs(Y, Ya, t)`` consumers (diagnostics, adjoints, oracles) are
+    unaffected."""
     soil = land.soil
     if grid is None:
         grid = make_function_space(soil.domain, soil.float_dtype)
-    name = soil.name
 
     def rhs(Y: dict, Ya: dict, t: Array) -> dict:
-        h_s = Y[land.surface.name]["h_s"]
-        vartheta_l = Y[name]["vartheta_l"]
-        theta_i = Y[name]["theta_i"]
-        T = _diagnose_state_T(soil, Y[name], Ya)
-        X = {"vartheta_l": vartheta_l, "theta_i": theta_i, "T": T}
-
-        ex = surface_exchange(land, grid, X, h_s, t)
-        infiltration = ex["infiltration"]
-
-        # soil sees the infiltration as a downward (negative) top flux plus
-        # its bare-soil evaporation (upward positive); the rhs closure is
-        # rebuilt per call with the coupled flux values — closure
-        # construction is trace-time-only work
-        bc = soil.boundary_conditions
-        if ex["heat_flux"] is not None:
-            energy_bc = VerticalFlux(ex["heat_flux"])
-        else:
-            energy_bc = getattr(bc.top, "energy", VerticalFlux(0.0))
-        soil_t = dataclasses.replace(
-            soil,
-            boundary_conditions=SoilColumnBC(
-                top=SoilComponentBC(
-                    hydrology=VerticalFlux(-infiltration + ex["evap_soil"]),
-                    energy=energy_bc,
-                ),
-                bottom=bc.bottom,
-            ),
-        )
-        dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
-
-        dh_s = ex["P"] - infiltration - ex["evap_pond"]
-        if land.surface.runoff is not None:
-            dh_s = dh_s + routing_tendency(land.surface.runoff, h_s)
-        return {
-            name: dY_soil[name],
-            land.surface.name: {"h_s": dh_s},
-        }
+        ex = _exchange_from_state(land, grid, Y, Ya, t)
+        return _rhs_given_exchange(land, grid, Y, Ya, t, ex)
 
     return rhs
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenExchangeStepper:
+    """Stepper decorator realizing ``LandModel(surface_update="step")``:
+    evaluate the surface exchange (two MOST multisection solves + potential
+    infiltration) ONCE at the step's initial state ``(Y_n, t_n)`` and hold
+    it fixed across the inner stepper's RK stages.
+
+    A first-order splitting of the surface coupling (local error O(dt^2),
+    same class as the lateral Lie split in ``parallel/stepping.py``): the
+    surface state moves O(dt) per step while dt is pinned to the vertical
+    diffusion CFL (seconds) and the surface forcing evolves on
+    minutes-to-hours scales, so the frozen-exchange deviation sits far
+    below the discretization error (measured first order in
+    ``tests/test_land_model.py::test_surface_update_step_first_order``).
+    Mass/energy closure is untouched — both sides of the component
+    boundary consume the same frozen rates (see ``_rhs_given_exchange``).
+
+    The wrapped ``step`` IGNORES the rhs argument it is handed and drives
+    ``_rhs_given_exchange`` directly — by construction the frozen rhs and
+    the passed rhs trace the same physics, and ignoring the argument is
+    what guarantees no second exchange evaluation sneaks in.
+    """
+
+    inner: Any
+    land: Any
+    grid: Any = None
+
+    @property
+    def stages(self) -> int:
+        return getattr(self.inner, "stages", 1)
+
+    def step(self, rhs, Y, Ya, t, dt):
+        grid = self.grid
+        if grid is None:
+            grid = make_function_space(
+                self.land.soil.domain, self.land.float_dtype
+            )
+        ex = _exchange_from_state(self.land, grid, Y, Ya, t)
+
+        def frozen_rhs(Y_, Ya_, t_):
+            return _rhs_given_exchange(self.land, grid, Y_, Ya_, t_, ex)
+
+        return self.inner.step(frozen_rhs, Y, Ya, t, dt)
+
+
+def wrap_stepper_for_land(stepper, land, grid=None):
+    """Apply the land model's configured surface-update policy to a stepper
+    (idempotent; no-op for ``surface_update="stage"`` and for non-land
+    models)."""
+    if (
+        getattr(land, "surface_update", "stage") == "step"
+        and not isinstance(stepper, FrozenExchangeStepper)
+    ):
+        return FrozenExchangeStepper(inner=stepper, land=land, grid=grid)
+    return stepper
 
 
 def initialize_states(land: LandModel, f_soil, t0, h_s0=0.0):

@@ -84,6 +84,16 @@ def make_fused_column_run(
     soil = model.soil if is_land else model
     surface = model.surface if is_land else None
 
+    # LandModel(surface_update="step") is realized in-kernel with the
+    # tile-local land model and literal grid (see the kernel body); a
+    # caller-applied FrozenExchangeStepper closes over the GLOBAL land
+    # model, so strip it here and rebuild inside
+    if is_land:
+        from landhydrology_tpu.models.land import FrozenExchangeStepper
+
+        while isinstance(stepper, FrozenExchangeStepper):
+            stepper = stepper.inner
+
     # EquilibriumFreezeThaw does its physics in a post-step projection, not
     # in the rhs — wrap here so direct kernel users (and the sharded fused
     # path, which builds per-shard kernels) never silently drop it
@@ -287,6 +297,14 @@ def make_fused_column_run(
             return st
 
         stepper_k = _rebind(stepper)
+        if is_land and model.surface_update == "step":
+            from landhydrology_tpu.models.land import FrozenExchangeStepper
+
+            # tile-local freeze: the exchange is evaluated once per step on
+            # the tile's own land model/grid, inside the kernel
+            stepper_k = FrozenExchangeStepper(
+                inner=stepper_k, land=model_tile, grid=grid_k
+            )
         Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
         if is_land:
             Y[surf_name] = {"h_s": surf_refs[0][:][0]}  # (tile,)

@@ -101,6 +101,12 @@ def make_sharded_step(
         # AbstractModel protocol: composed models (LandModel) bring their
         # own rhs; XLA partitions the pond/routing terms with the state
         rhs = model.make_rhs(grid) if is_land else make_rhs(model, grid)
+        if is_land:
+            from landhydrology_tpu.models.land import wrap_stepper_for_land
+
+            # surface_update="step": freeze the exchange per step (no-op
+            # for the default stage-level policy)
+            stepper = wrap_stepper_for_land(stepper, model, grid)
 
         @jax.jit
         def step(Y, Ya, t):

@@ -106,6 +106,16 @@ class Simulation:
             )
 
             stepper = wrap_stepper_with_projection(stepper, ft_owner)
+        # LandModel(surface_update="step"): freeze the surface exchange
+        # (MOST solves, potential infiltration) across the RK stages of
+        # each step.  Outermost wrap — the frozen rhs flows through any
+        # projection stepper unchanged.  The fused engine re-wraps with
+        # tile-local land/grid inside the kernel (column_kernel.py), so
+        # this wrapper is transparently rebuilt there.
+        if getattr(model, "surface_update", "stage") == "step":
+            from landhydrology_tpu.models.land import wrap_stepper_for_land
+
+            stepper = wrap_stepper_for_land(stepper, model)
         self.stepper = stepper
         self.dt = float(dt)
         self.tspan = (float(tspan[0]), float(tspan[1]))

@@ -728,3 +728,257 @@ def test_land_model_pallas_engine_matches_xla():
     np.testing.assert_allclose(
         np.asarray(sol_p.ts), np.asarray(sol_x.ts), rtol=1e-12
     )
+
+
+# --------------------------------------------------------------------------
+# surface_update="step": frozen-per-step surface exchange
+# --------------------------------------------------------------------------
+
+
+def test_surface_update_validation_and_config_roundtrip():
+    import dataclasses
+
+    from landhydrology_tpu.config import from_config, to_config
+    from landhydrology_tpu.models.land import ConstantPrecipitation
+
+    land = _atmos_land(ConstantPrecipitation(rate=4e-7))
+    with pytest.raises(ValueError, match="surface_update"):
+        dataclasses.replace(land, surface_update="never")
+    step_land = dataclasses.replace(land, surface_update="step")
+    rt = from_config(to_config(step_land))
+    assert rt.surface_update == "step"
+    assert from_config(to_config(land)).surface_update == "stage"
+
+
+def test_surface_update_step_exact_for_single_stage_stepper():
+    """With a single-stage stepper (forward Euler) there is exactly one rhs
+    evaluation per step, at the step's initial state — freezing the
+    exchange at that same state must change NOTHING.  This pins the wiring
+    (wrapper applied, rhs ignored, frozen rates consumed consistently)
+    independent of any splitting-error tolerance."""
+    import dataclasses
+
+    import jax
+
+    from landhydrology_tpu.timestepping import ForwardEuler
+
+    land = _atmos_land(lambda t: 8e-6)
+    Y0, Ya = initialize_states(land, _ic_energy, 0.0, h_s0=0.0)
+
+    def run(land_v, n=12, dt=2.0):
+        from landhydrology_tpu.models.land import wrap_stepper_for_land
+
+        stepper = wrap_stepper_for_land(ForwardEuler(), land_v)
+        rhs = make_rhs(land_v)
+
+        @jax.jit
+        def go(Y):
+            def body(carry, _):
+                Yc, t = carry
+                return (
+                    stepper.step(rhs, Yc, Ya, t, jnp.asarray(dt)),
+                    t + dt,
+                ), None
+
+            (Yf, _), _ = jax.lax.scan(
+                body, (Y, jnp.asarray(0.0)), None, length=n
+            )
+            return Yf
+
+        return go(Y0)
+
+    Y_stage = run(land)
+    Y_step = run(dataclasses.replace(land, surface_update="step"))
+    for k in Y_stage["soil"]:
+        np.testing.assert_array_equal(
+            np.asarray(Y_stage["soil"][k]), np.asarray(Y_step["soil"][k]),
+            err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(Y_stage["surface"]["h_s"]),
+        np.asarray(Y_step["surface"]["h_s"]),
+    )
+
+
+def test_surface_update_step_first_order():
+    """The frozen-exchange deviation from stage-level semantics is first
+    order in dt (same accuracy class as the lateral Lie split): halving dt
+    roughly halves the max state deviation at fixed final time, and at the
+    operating dt the deviation is far below the state scale."""
+    import dataclasses
+
+    import jax
+
+    from landhydrology_tpu.domains import make_function_space
+
+    land = _atmos_land(lambda t: 8e-6)  # rain + pond + MOST, SSPRK33
+    Y0, Ya = initialize_states(land, _ic_energy, 0.0, h_s0=0.0)
+    tf = 48.0
+
+    def run(land_v, dt):
+        from landhydrology_tpu.models.land import wrap_stepper_for_land
+
+        stepper = wrap_stepper_for_land(SSPRK33(), land_v)
+        rhs = make_rhs(land_v)
+
+        @jax.jit
+        def go(Y):
+            def body(carry, _):
+                Yc, t = carry
+                return (
+                    stepper.step(rhs, Yc, Ya, t, jnp.asarray(dt)),
+                    t + dt,
+                ), None
+
+            (Yf, _), _ = jax.lax.scan(
+                body, (Y, jnp.asarray(0.0)), None, length=int(round(tf / dt))
+            )
+            return Yf
+
+        return go(Y0)
+
+    step_land = dataclasses.replace(land, surface_update="step")
+
+    def dev(dt):
+        Ys = run(land, dt)
+        Yf = run(step_land, dt)
+        d = max(
+            float(jnp.max(jnp.abs(Ys["soil"]["vartheta_l"]
+                                  - Yf["soil"]["vartheta_l"]))),
+            float(jnp.max(jnp.abs(Ys["surface"]["h_s"]
+                                  - Yf["surface"]["h_s"]))),
+        )
+        return d
+
+    d4, d2, d1 = dev(4.0), dev(2.0), dev(1.0)
+    assert d4 > 0.0  # the split is real (flag actually changes the path)
+    r42, r21 = d4 / d2, d2 / d1
+    assert 1.5 < r42 < 2.7, (d4, d2, d1)
+    assert 1.5 < r21 < 2.7, (d4, d2, d1)
+    # absolute scale at the operating dt: far below the moisture scale
+    assert d2 < 1e-6, d2
+
+
+def test_surface_update_step_fused_matches_xla():
+    """engine='pallas' with surface_update='step' reproduces the XLA-engine
+    frozen-exchange trajectory exactly (both paths freeze at the same
+    states), and differs from the stage-level trajectory (the flag is
+    honored inside the kernel, not silently dropped)."""
+    import dataclasses
+
+    from landhydrology_tpu import PrescribedAtmosForcing, SoilEnergyModel
+    from landhydrology_tpu.constants import default_earth_param_set as ps
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+
+    ncol = 64
+    soil = SoilModel(
+        domain=Column(zlim=(-1.5, 0.0), nelements=16, batch_shape=(ncol,)),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=2e-7,
+                                         theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=PrescribedAtmosForcing(
+                u_atm=2.0, theta_atm=300.0, z_atm=2.0, theta_scale=300.0,
+                rho_a_sfc=1.2, q_atm=0.005,
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3, rho_c_ds=1.3e6),
+    )
+    land = LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=lambda t: jnp.where(t < 60.0, 8e-6, 0.0),
+            tau_pond=120.0,
+        ),
+        surface_update="step",
+    )
+
+    def ic(z, m):
+        shape = (16, ncol)
+        th = jnp.broadcast_to(
+            0.15 + 0.1 * jnp.linspace(0.0, 1.0, ncol)[None, :], shape
+        )
+        ti = jnp.zeros(shape)
+        rcs = volumetric_heat_capacity(th, ti, 1.3e6, ps)
+        return {
+            "vartheta_l": th,
+            "theta_i": ti,
+            "rho_e_int": volumetric_internal_energy(
+                ti, rcs, jnp.full(shape, 291.0), ps
+            ),
+        }
+
+    Y, Ya = initialize_states(land, ic, 0.0, h_s0=0.0)
+    kw = dict(Y_init=Y, Ya_init=Ya, dt=2.0, tspan=(0.0, 96.0))
+    sim_x = Simulation(land, SSPRK33(), **kw)
+    sim_x.run()
+    sim_p = Simulation(
+        land, SSPRK33(), engine="pallas", steps_per_call=12, tile_cols=64,
+        **kw,
+    )
+    sim_p.run()
+    sim_stage = Simulation(
+        dataclasses.replace(land, surface_update="stage"), SSPRK33(), **kw
+    )
+    sim_stage.run()
+
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(sim_p.Y["soil"][k]), np.asarray(sim_x.Y["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(sim_p.Y["surface"]["h_s"]),
+        np.asarray(sim_x.Y["surface"]["h_s"]),
+        rtol=1e-12, atol=1e-18,
+    )
+    # the frozen path is a genuinely different (but close) trajectory
+    dev = float(jnp.max(jnp.abs(sim_stage.Y["soil"]["vartheta_l"]
+                                - sim_x.Y["soil"]["vartheta_l"])))
+    assert 0.0 < dev < 1e-3, dev  # real but tiny vs the ~0.2 moisture scale
+
+
+def test_surface_update_step_conserves_water():
+    """Water closure is exact under the frozen exchange: both sides of the
+    component boundary consume the same frozen rates, so
+    d/dt[column + pond] = P - evap_soil - evap_pond - bottom outflow holds
+    to roundoff (accumulated with the SAME frozen rates the stepper
+    used)."""
+    import jax
+
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.models.land import (
+        FrozenExchangeStepper,
+        _exchange_from_state,
+    )
+    from landhydrology_tpu.timestepping import ForwardEuler
+
+    land = _atmos_land(lambda t: 8e-6)
+    import dataclasses as dc
+
+    land = dc.replace(land, surface_update="step")
+    grid = make_function_space(land.soil.domain, land.float_dtype)
+    Y, Ya = initialize_states(land, _ic_energy, 0.0, h_s0=0.0)
+    stepper = FrozenExchangeStepper(inner=ForwardEuler(), land=land, grid=grid)
+    rhs = make_rhs(land)
+
+    dt, n = 2.0, 40
+    dz = float(grid.dz) if jnp.ndim(grid.dz) == 0 else None
+    water0 = float(jnp.sum(Y["soil"]["vartheta_l"]) * dz + Y["surface"]["h_s"])
+    budget = 0.0
+    t = jnp.asarray(0.0)
+    for _ in range(n):
+        ex = _exchange_from_state(land, grid, Y, Ya, t)
+        budget += dt * float(ex["P"] - ex["evap_soil"] - ex["evap_pond"])
+        Y = stepper.step(rhs, Y, Ya, t, jnp.asarray(dt))
+        t = t + dt
+    water1 = float(jnp.sum(Y["soil"]["vartheta_l"]) * dz + Y["surface"]["h_s"])
+    np.testing.assert_allclose(water1 - water0, budget, rtol=1e-10, atol=1e-14)
