@@ -771,3 +771,92 @@ def test_adaptive_trbdf2_sharded_matches_single_device():
             np.asarray(YN["soil"][k]), np.asarray(Y1["soil"][k]),
             rtol=1e-12, atol=1e-18, err_msg=k,
         )
+
+
+def test_land_surface_update_step_device_invariant():
+    """LandModel(surface_update='step') across the parallel engines: the
+    pjit-sharded step (8 devices) matches the single-device frozen-exchange
+    loop, and the fused sharded kernel (which re-wraps the freeze with
+    tile-local models inside each shard's kernel) matches the plain fused
+    kernel — the frozen surface exchange must not depend on device count
+    or tiling."""
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.models.land import (
+        make_rhs as make_land_rhs,
+        wrap_stepper_for_land,
+    )
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+    from landhydrology_tpu.parallel import make_fused_sharded_run
+
+    land = dataclasses.replace(_land_model(), surface_update="step")
+    Y, Ya = _land_states(land, h_s0=5e-4)
+    dt, n = 10.0, 8
+
+    # single-device frozen-exchange reference
+    grid = make_function_space(land.soil.domain, land.float_dtype)
+    stepper = wrap_stepper_for_land(SSPRK33(), land, grid)
+    rhs = make_land_rhs(land, grid)
+    Yr, t = Y, jnp.asarray(0.0)
+    for _ in range(n):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(dt))
+        t = t + dt
+
+    # pjit-sharded step on 8 devices
+    mesh = make_column_mesh(shape=(4, 2))
+    step = make_sharded_step(land, mesh, SSPRK33(), dt=dt, mode="pjit")
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    Yp, tp = Ys, jnp.asarray(0.0)
+    for _ in range(n):
+        Yp, tp = step(Yp, Yas, tp)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]), np.asarray(Yr["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(Yp["surface"]["h_s"]), np.asarray(Yr["surface"]["h_s"]),
+        rtol=1e-12, atol=1e-18,
+    )
+
+    # fused sharded (8 devices) == plain fused (1 device), both step-mode
+    ncol = NX * NY
+    flat_land = dataclasses.replace(
+        land,
+        soil=dataclasses.replace(
+            land.soil,
+            domain=dataclasses.replace(land.soil.domain, batch_shape=(ncol,)),
+        ),
+    )
+    run_p = make_fused_column_run(
+        flat_land, SSPRK33(), dt=dt, steps_per_call=4, tile_cols=ncol,
+        interpret=True,
+    )
+    Yf = {
+        "soil": {k: v.reshape(NZ, ncol) for k, v in Y["soil"].items()},
+        "surface": {"h_s": Y["surface"]["h_s"].reshape(ncol)},
+    }
+    tf = jnp.asarray(0.0, dtype=jnp.float64)
+    for _ in range(n // 4):
+        Yf = run_p(Yf, tf)
+        tf = tf + 4 * dt
+    runN = make_fused_sharded_run(
+        land, mesh, SSPRK33(), dt=dt, steps_per_call=4, n_calls=n // 4,
+        interpret=True,
+    )
+    YN, _ = runN(Ys, Yas, jnp.asarray(0.0))
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(YN["soil"][k]),
+            np.asarray(Yf["soil"][k]).reshape(NZ, NX, NY),
+            rtol=1e-13, atol=1e-18, err_msg=k,
+        )
+
+    # and the frozen path genuinely differs from stage-level semantics
+    land_stage = dataclasses.replace(land, surface_update="stage")
+    step_s = make_sharded_step(land_stage, mesh, SSPRK33(), dt=dt, mode="pjit")
+    Yq, tq = Ys, jnp.asarray(0.0)
+    for _ in range(n):
+        Yq, tq = step_s(Yq, Yas, tq)
+    dev = float(jnp.max(jnp.abs(Yq["soil"]["vartheta_l"]
+                                - Yp["soil"]["vartheta_l"])))
+    assert dev > 0.0, "surface_update flag silently ignored on pjit path"
