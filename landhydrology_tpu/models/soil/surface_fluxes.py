@@ -55,11 +55,18 @@ _PRANDTL_0 = 0.74
 #:   fixed point diverged in low-wind stable states; found by the Brent
 #:   oracle in tests/soil/test_most_oracle.py).
 #:
-#: Rounds: 9^20 > 2^62 reaches f64 machine precision; 9^11 > 2^32 exceeds
-#: f32 resolution of Linv.  The count is picked from the operand dtype.
+#: Rounds: 9^20 > 2^62 reaches f64 machine precision.  For f32 the right
+#: target is the FLUX resolution, not the Linv bit pattern: the fluxes
+#: depend on Linv only through psi(zeta), so the flux error from a
+#: half-bracket of width d(zeta) is ~ psi' d(zeta)/ln(z/z0) <~ d(zeta).
+#: The zeta bracket is 2*_ZETA_BRACKET = 100 wide, and 100 * 9^-9 = 2.6e-7
+#: ~ f32 eps — i.e. 9 rounds already place every star/flux at f32 machine
+#: precision (validated: the f64 Brent-oracle grid re-run in f32 agrees to
+#: ~1e-6 relative, the f32 representation error of the states themselves).
+#: The count is picked from the operand dtype.
 _N_SECTIONS = 8
 _N_ROUNDS_F64 = 20
-_N_ROUNDS_F32 = 11
+_N_ROUNDS_F32 = 9
 #: bisection bracket in zeta = z_atm/L units; beyond |zeta|=50 Businger
 #: similarity has no credible solution (critical-stability decoupling) and
 #: the bracketed answer saturates at the edge (a regularization, flagged by
@@ -284,7 +291,7 @@ def surface_conditions(
         + z_0s * 0.0 + theta_scale * 0.0
     )
 
-    def stars(Linv):
+    def denoms(Linv):
         zeta = z_atm * Linv
         zeta_0m = z_0m * Linv
         zeta_0s = z_0s * Linv
@@ -297,12 +304,22 @@ def surface_conditions(
         # keep denominators away from 0 (can cross in extreme instability)
         denom_m = jnp.maximum(denom_m, 1e-3)
         denom_s = jnp.maximum(denom_s, 1e-3)
+        return denom_m, denom_s
+
+    def stars(Linv):
+        denom_m, denom_s = denoms(Linv)
         u_star = kappa * du / denom_m
         theta_star = kappa * dtheta / denom_s
         q_star = kappa * dq / denom_s
         return u_star, theta_star, q_star
 
     eps_vi = param_set.molmass_ratio - 1.0  # ~0.608
+    # hoisted constant of the consistency equation: the buoyancy numerator
+    # kappa^2 g [(1+eps q_atm) dtheta + eps theta_scale dq] / theta_scale
+    # (one div per column, OUTSIDE the multisection loop)
+    b_const = (1.0 + eps_vi * q_atm) * dtheta + eps_vi * theta_scale * dq
+    c0 = kappa * kappa * g * b_const / theta_scale
+    kdu = kappa * du
 
     def f(Linv):
         u_star, theta_star, q_star = stars(Linv)
@@ -313,12 +330,28 @@ def surface_conditions(
         u_star_safe = jnp.maximum(u_star, 1e-6)
         return Linv - kappa * g * theta_v_star / (u_star_safe**2 * theta_scale)
 
+    def h(Linv):
+        """The consistency equation cleared of divisions: ``f`` multiplied
+        through by the (strictly positive) ``denom_s * u_star_safe^2 *
+        denom_m^2``, so
+
+            h = Linv * denom_s * M^2 - c0 * denom_m^2,
+            M = max(kappa du, 1e-6 denom_m)   [= u_star_safe * denom_m].
+
+        Same roots and same signs as ``f`` everywhere — but each
+        multisection probe costs zero array divides (the old form spent
+        4 per probe: u*, theta*, q*, and the final quotient), which is
+        most of the fused LandModel kernel's slow-VPU budget."""
+        denom_m, denom_s = denoms(Linv)
+        M = jnp.maximum(kdu, 1e-6 * denom_m)
+        return Linv * denom_s * (M * M) - c0 * (denom_m * denom_m)
+
     lo = zero - _ZETA_BRACKET / z_atm
     hi = zero + _ZETA_BRACKET / z_atm
-    # only the SIGN of f(lo) matters: every kept subinterval has its left
+    # only the SIGN of h(lo) matters: every kept subinterval has its left
     # endpoint on the same side of the (first) root as the original lo, so
-    # s_lo is loop-invariant and f never needs re-evaluating at an endpoint
-    s_lo = jnp.sign(f(lo))
+    # s_lo is loop-invariant and h never needs re-evaluating at an endpoint
+    s_lo = jnp.sign(h(lo))
     s_lo = jnp.where(s_lo == 0.0, 1.0, s_lo)
     n_rounds = (
         _N_ROUNDS_F64 if zero.dtype == jnp.float64 else _N_ROUNDS_F32
@@ -332,13 +365,13 @@ def surface_conditions(
         # (k, batch) probe stack built from Python-float coefficients (a
         # traced stack, not a captured array constant — Pallas-safe)
         mids = jnp.stack([lo + ((r + 1.0) * inv) * w for r in range(k)])
-        f_mids = f(mids)
+        h_mids = h(mids)
         # j = number of leading probes still on lo's side (prefix-AND,
         # unrolled over the static k — no gathers, Mosaic-safe)
-        alive = f_mids[0] * s_lo > 0.0
+        alive = h_mids[0] * s_lo > 0.0
         j = alive.astype(zero.dtype)
         for r in range(1, k):
-            alive = alive & (f_mids[r] * s_lo > 0.0)
+            alive = alive & (h_mids[r] * s_lo > 0.0)
             j = j + alive.astype(zero.dtype)
         # equally spaced probes: the bracketing subinterval is
         # [lo + j w/(k+1), lo + (j+1) w/(k+1)] without any indexing
@@ -349,7 +382,10 @@ def surface_conditions(
     lo, hi = jax.lax.fori_loop(0, n_rounds, body, (lo, hi))
     Linv = 0.5 * (lo + hi)
     delta = 0.5 * (hi - lo)
-    u_star, theta_star, q_star = stars(Linv)
+    denom_m, denom_s = denoms(Linv)
+    u_star = kappa * du / denom_m
+    theta_star = kappa * dtheta / denom_s
+    q_star = kappa * dq / denom_s
     L = jnp.where(jnp.abs(Linv) > 1e-30, 1.0 / Linv, jnp.inf)
     # convergence monitor: half-bracket width AND the consistency-equation
     # defect — in the decoupling regime bisection collapses onto a bracket
@@ -358,12 +394,83 @@ def surface_conditions(
         "x_star": (u_star, theta_star, q_star),
         "L_mo": L,
         "residual": jnp.maximum(jnp.abs(delta), jnp.abs(f(Linv))),
+        # the converged profile denominators: fluxes for any OTHER surface
+        # humidity over the same (wind, temperature) state are linear in
+        # q_sfc through kappa (q_atm - q_sfc) / denom_s — what the blended
+        # pond/bare-soil split consumes (compute_blended_surface_fluxes)
+        "denoms": (denom_m, denom_s),
     }
 
 
 # --------------------------------------------------------------------------
 # The soil-facing flux computation (boundary_conditions.jl:555-620)
 # --------------------------------------------------------------------------
+
+
+def _resolve_atmos(atmos, t):
+    """Atmospheric-state fields of the top BC may be constants, per-column
+    arrays, or callables of time (diurnal cycles / reanalysis forcing —
+    the extension the reference anticipates at
+    ``boundary_conditions.jl:113-114``); resolve callables at ``t``."""
+    import dataclasses as _dc
+
+    if any(callable(getattr(atmos, f.name)) for f in _dc.fields(atmos)):
+        atmos = _dc.replace(
+            atmos,
+            **{
+                f.name: (
+                    getattr(atmos, f.name)(t)
+                    if callable(getattr(atmos, f.name))
+                    else getattr(atmos, f.name)
+                )
+                for f in _dc.fields(atmos)
+            },
+        )
+    return atmos
+
+
+def _soil_surface_humidity(model, hydrology, vartheta_l, theta_i, T, rho_a):
+    """(q_sat, q_surf): saturation humidity at the surface and the
+    soil-moisture-corrected surface specific humidity
+    ``q_surf = q_sat exp(g psi / R_v T)``
+    (``boundary_conditions.jl:575-587``)."""
+    sp = model.soil_param_set
+    param_set = model.earth_param_set
+    hm = hydrology.hydraulic_model
+    q_sat = q_vap_saturation_liquid(param_set, T, rho_a)
+    nu_eff = sp.nu - theta_i
+    theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
+    S_l_eff = jnp.minimum(
+        sw.effective_saturation(nu_eff, theta_l, hm.theta_r), 1.0
+    )
+    psi = sw.matric_potential(hm, S_l_eff)
+    correction = jnp.exp(param_set.grav * psi / param_set.R_v / T)
+    return q_sat, q_sat * correction
+
+
+def _require_dynamic(energy, hydrology):
+    if not isinstance(energy, SoilEnergyModel) or not isinstance(
+        hydrology, SoilHydrologyModel
+    ):
+        raise TypeError(
+            "Turbulent surface fluxes require dynamic SoilEnergyModel and "
+            "SoilHydrologyModel components."
+        )
+
+
+def _assemble_fluxes(param_set, atmos, T, q_sfc, u_star, t_star, q_star):
+    """(heat flux, water volume flux), positive along +z, from the MOST
+    scales (``boundary_conditions.jl:606-619``)."""
+    cpm = cp_m(param_set, q_sfc)
+    T_ref = param_set.T_0
+    h_d = param_set.cp_d * (T - T_ref) + param_set.R_d * T_ref
+    E = -atmos.rho_a_sfc * u_star * q_star
+    dry_static_energy_flux = -cpm * atmos.rho_a_sfc * u_star * t_star - h_d * E
+    vapor_static_energy_flux = (
+        param_set.cp_v * (T - T_ref) + param_set.LH_v0
+    ) * E
+    E_vol = E / param_set.rho_cloud_liq  # soil model needs a volume flux
+    return dry_static_energy_flux + vapor_static_energy_flux, E_vol
 
 
 def compute_turbulent_surface_fluxes(
@@ -383,48 +490,17 @@ def compute_turbulent_surface_fluxes(
     Returns fluxes positive along +z (upward).
 
     Atmospheric-state fields of the top BC may be constants, per-column
-    arrays, or callables of time (diurnal cycles / reanalysis forcing —
-    the extension the reference anticipates at
-    ``boundary_conditions.jl:113-114``); ``t`` is forwarded to them.
+    arrays, or callables of time; ``t`` is forwarded to them (see
+    :func:`_resolve_atmos`).
     """
-    if not isinstance(energy, SoilEnergyModel) or not isinstance(
-        hydrology, SoilHydrologyModel
-    ):
-        raise TypeError(
-            "Turbulent surface fluxes require dynamic SoilEnergyModel and "
-            "SoilHydrologyModel components."
-        )
-
-    import dataclasses as _dc
-
-    atmos = model.boundary_conditions.top
-    if any(callable(getattr(atmos, f.name)) for f in _dc.fields(atmos)):
-        atmos = _dc.replace(
-            atmos,
-            **{
-                f.name: (
-                    getattr(atmos, f.name)(t)
-                    if callable(getattr(atmos, f.name))
-                    else getattr(atmos, f.name)
-                )
-                for f in _dc.fields(atmos)
-            },
-        )
+    _require_dynamic(energy, hydrology)
+    atmos = _resolve_atmos(model.boundary_conditions.top, t)
     sp = model.soil_param_set
     param_set = model.earth_param_set
-    hm = hydrology.hydraulic_model
 
-    # soil-moisture-corrected surface specific humidity
-    # (boundary_conditions.jl:575-587)
-    q_sat = q_vap_saturation_liquid(param_set, T, atmos.rho_a_sfc)
-    nu_eff = sp.nu - theta_i
-    theta_l = sw.volumetric_liquid_fraction(vartheta_l, nu_eff)
-    S_l_eff = jnp.minimum(
-        sw.effective_saturation(nu_eff, theta_l, hm.theta_r), 1.0
+    _, q_surf = _soil_surface_humidity(
+        model, hydrology, vartheta_l, theta_i, T, atmos.rho_a_sfc
     )
-    psi = sw.matric_potential(hm, S_l_eff)
-    correction = jnp.exp(param_set.grav * psi / param_set.R_v / T)
-    q_surf = q_sat * correction
 
     conditions = surface_conditions(
         param_set,
@@ -440,17 +516,94 @@ def compute_turbulent_surface_fluxes(
         theta_scale=atmos.theta_scale,
     )
     u_star, t_star, q_star = conditions["x_star"]
+    return _assemble_fluxes(param_set, atmos, T, q_surf, u_star, t_star, q_star)
 
-    cpm = cp_m(param_set, q_surf)
-    T_ref = param_set.T_0
-    h_d = param_set.cp_d * (T - T_ref) + param_set.R_d * T_ref
 
-    # fluxes of energy and water volume (boundary_conditions.jl:613-619)
-    E = -atmos.rho_a_sfc * u_star * q_star
-    dry_static_energy_flux = -cpm * atmos.rho_a_sfc * u_star * t_star - h_d * E
-    vapor_static_energy_flux = (
-        param_set.cp_v * (T - T_ref) + param_set.LH_v0
-    ) * E
-    E_vol = E / param_set.rho_cloud_liq  # soil model needs a volume flux
-    heat_flux = dry_static_energy_flux + vapor_static_energy_flux
-    return heat_flux, E_vol
+def compute_blended_surface_fluxes(
+    energy,
+    hydrology,
+    model: SoilModel,
+    vartheta_l: Array,
+    theta_i: Array,
+    T: Array,
+    w: Array,
+    t: Array = 0.0,
+) -> dict:
+    """Pond/bare-soil surface fluxes from ONE MOST solve over a blended
+    surface — the LandModel exchange's hot path.
+
+    The surface is a fraction ``w`` ponded (saturated, ``q_sfc = q_sat``)
+    and ``1-w`` bare soil (moisture-corrected ``q_sfc = q_sat exp(g psi /
+    R_v T)``); both share the soil surface temperature and the wind.  The
+    Monin-Obukhov similarity solve therefore sees ONE effective surface
+    humidity
+
+        q_eff = (1-w) q_soil + w q_sat
+
+    — physically, one atmospheric surface layer over a partially ponded
+    surface — where the previous design ran two full multisection solves
+    (bare-soil and pond) and blended the resulting fluxes.  At ``w = 0``
+    and ``w = 1`` the blended solve is *bitwise* the corresponding
+    single-surface solve (``q_eff`` degenerates exactly); for
+    ``0 < w < 1`` (the thin transition band ``h_s < h_evap_smoothing``)
+    it differs from flux-blending by O(w(1-w) (q_soil-q_sat)^2) through
+    the solve's nonlinearity — far inside the MOST closure uncertainty —
+    while costing HALF the exchange.
+
+    The per-component split is exact: given the converged scales, the
+    latent flux is linear in the surface humidity
+    (``q_star_c = kappa (q_atm - q_c) / denom_s``), so
+
+        E_eff = (1-w) E_soil + w E_pond
+
+    holds identically and the water budget closes by construction
+    (``tests/test_land_model.py::test_rain_pond_evaporation_budget_closes``).
+
+    Returns ``{"heat_flux", "evap_soil", "evap_pond"}`` with
+    ``evap_soil = (1-w) E_soil``, ``evap_pond = w E_pond`` (already
+    weighted, volume fluxes positive upward) and ``heat_flux`` the
+    w-blended surface energy flux.
+    """
+    _require_dynamic(energy, hydrology)
+    atmos = _resolve_atmos(model.boundary_conditions.top, t)
+    sp = model.soil_param_set
+    param_set = model.earth_param_set
+
+    q_sat, q_soil = _soil_surface_humidity(
+        model, hydrology, vartheta_l, theta_i, T, atmos.rho_a_sfc
+    )
+    one_m_w = 1.0 - w
+    q_eff = one_m_w * q_soil + w * q_sat
+
+    conditions = surface_conditions(
+        param_set,
+        u_atm=atmos.u_atm,
+        theta_atm=atmos.theta_atm,
+        q_atm=atmos.q_atm,
+        u_sfc=jnp.zeros_like(T),
+        theta_sfc=T,
+        q_sfc=q_eff,
+        z_atm=atmos.z_atm,
+        z_0m=sp.z_0m,
+        z_0s=sp.z_0s,
+        theta_scale=atmos.theta_scale,
+    )
+    u_star, t_star, _ = conditions["x_star"]
+    _, denom_s = conditions["denoms"]
+    kappa = param_set.von_karman_const
+    # per-component humidity scales at the converged profile
+    r_s = kappa / denom_s
+    q_star_soil = (atmos.q_atm - q_soil) * r_s
+    q_star_pond = (atmos.q_atm - q_sat) * r_s
+
+    heat_soil, E_soil = _assemble_fluxes(
+        param_set, atmos, T, q_soil, u_star, t_star, q_star_soil
+    )
+    heat_pond, E_pond = _assemble_fluxes(
+        param_set, atmos, T, q_sat, u_star, t_star, q_star_pond
+    )
+    return {
+        "heat_flux": one_m_w * heat_soil + w * heat_pond,
+        "evap_soil": one_m_w * E_soil,
+        "evap_pond": w * E_pond,
+    }

@@ -195,6 +195,45 @@ def test_most_solver_matches_independent_brent_solve():
     assert n_neutral >= 4, n_neutral
 
 
+def test_most_solver_f32_rounds_reach_flux_precision():
+    """The f32 round count (9 rounds of 9x shrink on the |zeta|<=50
+    bracket) is chosen so the half-bracket width ~ 2.6e-7 in zeta, i.e.
+    star/flux resolution at the f32 machine level — verify the f32 solve
+    agrees with the f64 Brent oracle to ~f32 representation accuracy over
+    the full regime grid."""
+    theta_scale, q_atm = 290.0, 0.01
+    grid = _state_grid()
+    arr = np.asarray(grid, dtype=np.float64)
+    f32 = jnp.float32
+    cond = sf.surface_conditions(
+        ps,
+        u_atm=jnp.asarray(arr[:, 0], f32),
+        theta_atm=jnp.asarray(290.0 + arr[:, 1], f32),
+        q_atm=jnp.full(len(grid), q_atm, f32),
+        u_sfc=jnp.zeros(len(grid), f32),
+        theta_sfc=jnp.full(len(grid), 290.0, f32),
+        q_sfc=jnp.asarray(q_atm - arr[:, 2], f32),
+        z_atm=jnp.asarray(arr[:, 3], f32),
+        z_0m=jnp.asarray(arr[:, 4], f32),
+        z_0s=jnp.asarray(arr[:, 4], f32),
+        theta_scale=jnp.full(len(grid), theta_scale, f32),
+    )
+    us_all, ts_all, qs_all = (np.asarray(x) for x in cond["x_star"])
+    assert us_all.dtype == np.float32
+    n_checked = 0
+    for k, (u, dth, dq, z_atm, z0) in enumerate(grid):
+        Linv_ref = solve_most_ref(u, dth, dq, z_atm, z0, z0, theta_scale, q_atm)
+        if Linv_ref is None:
+            continue
+        us_r, ts_r, qs_r = stars_ref(Linv_ref, u, dth, dq, z_atm, z0, z0)
+        tag = f"u={u} dth={dth} dq={dq} z={z_atm} z0={z0}"
+        assert us_all[k] == pytest.approx(us_r, rel=2e-5, abs=1e-7), f"{tag}: u*"
+        assert ts_all[k] == pytest.approx(ts_r, rel=2e-5, abs=1e-6), f"{tag}: t*"
+        assert qs_all[k] == pytest.approx(qs_r, rel=2e-5, abs=1e-9), f"{tag}: q*"
+        n_checked += 1
+    assert n_checked > 100
+
+
 def test_neutral_limit_is_log_law():
     """At dtheta=dq=0 the solution is the neutral log law
     u* = kappa u / ln(z/z0) exactly."""
