@@ -134,14 +134,30 @@ class KinematicWaveRouting:
     water_surface_slope: bool = True  # diffusive-wave; False = pure kinematic
 
 
-def _kinematic_wave_tendency(ro: KinematicWaveRouting, h_s: Array) -> Array:
-    """dh_s/dt from upwinded Manning face fluxes in both lateral axes.
+def _manning_face_flux(s: Array, h_up: Array, manning_n) -> Array:
+    """Upwinded Manning unit-width discharge through a face with driving
+    slope ``s`` and upwind pond depth ``h_up`` (m^2/s, positive downslope).
 
     NaN-safe under AD: sqrt has an infinite derivative at 0, so the zero-
     slope branch is masked with a clamped operand (the repo-wide closure
-    rule) — gradients stay finite at exact equilibrium (flat water surface,
-    filled hollows), where adjoint/calibration runs otherwise see 0*inf.
+    rule) — gradients stay finite at exact equilibrium (flat water
+    surface, filled hollows), where adjoint/calibration runs otherwise see
+    0*inf.  Shared by the roll formulation below and the halo-exchange
+    formulation (``parallel/halo.py``) so the two are bitwise identical
+    per face (device-count invariance of the fused-sharded Lie split).
     """
+    flowing = jnp.abs(s) > 0.0
+    s_safe = jnp.where(flowing, jnp.abs(s), 1.0)
+    return jnp.where(
+        flowing,
+        jnp.sign(s) * jnp.sqrt(s_safe) * h_up ** (5.0 / 3.0) / manning_n,
+        0.0,
+    )
+
+
+def _kinematic_wave_tendency(ro: KinematicWaveRouting, h_s: Array) -> Array:
+    """dh_s/dt from upwinded Manning face fluxes in both lateral axes
+    (see :func:`_manning_face_flux` for the masked closure)."""
     h_eff = jnp.maximum(h_s - ro.h_detention, 0.0)
     z = jnp.broadcast_to(jnp.asarray(ro.elevation, dtype=h_s.dtype), h_s.shape)
     w = z + h_eff if ro.water_surface_slope else z
@@ -150,16 +166,8 @@ def _kinematic_wave_tendency(ro: KinematicWaveRouting, h_s: Array) -> Array:
         w_dn = jnp.roll(w, -1, axis=axis)  # neighbor at i+1
         s = (w - w_dn) / ro.dx  # >0: flow from i to i+1
         h_up = jnp.where(s > 0.0, h_eff, jnp.roll(h_eff, -1, axis=axis))
-        flowing = jnp.abs(s) > 0.0
-        s_safe = jnp.where(flowing, jnp.abs(s), 1.0)
-        q = jnp.where(
-            flowing,
-            jnp.sign(s)
-            * jnp.sqrt(s_safe)
-            * h_up ** (5.0 / 3.0)
-            / ro.manning_n,
-            0.0,
-        )  # discharge through face (i, i+1), positive toward i+1
+        # discharge through face (i, i+1), positive toward i+1
+        q = _manning_face_flux(s, h_up, ro.manning_n)
         dh = dh - (q - jnp.roll(q, 1, axis=axis)) / ro.dx
     return dh
 
@@ -351,9 +359,12 @@ def surface_exchange(land: LandModel, grid: ColumnGrid, X: dict, h_s, t) -> dict
     - ``evap_soil`` / ``evap_pond``: effective upward water-volume fluxes
       (m/s) leaving the bare-soil fraction / the pond under MOST forcing
       (zero without a PrescribedAtmosForcing top face).  The pond fraction
-      ``w = clip(h_s/h_evap_smoothing, 0, 1)`` blends them: the pond
-      evaporates at the potential (saturated-surface) rate while ``h_s>0``,
-      bare soil at its moisture-limited rate;
+      ``w = clip(h_s/h_evap_smoothing, 0, 1)`` blends them — via ONE
+      Monin-Obukhov solve over the blended surface humidity
+      (:func:`~landhydrology_tpu.models.soil.surface_fluxes.
+      compute_blended_surface_fluxes`): the pond evaporates at the
+      potential (saturated-surface) rate while ``h_s>0``, bare soil at its
+      moisture-limited rate;
     - ``heat_flux``: upward surface energy flux (W/m^2) for the soil energy
       BC, blended the same way (pond assumed at the soil surface T).
 
@@ -389,32 +400,28 @@ def surface_exchange(land: LandModel, grid: ColumnGrid, X: dict, h_s, t) -> dict
     }
     if isinstance(top_bc, PrescribedAtmosForcing):
         from landhydrology_tpu.models.soil.surface_fluxes import (
-            compute_turbulent_surface_fluxes,
+            compute_blended_surface_fluxes,
         )
 
         top = X["vartheta_l"].shape[0] - 1
         v_top = X["vartheta_l"][top]
         ti_top = X["theta_i"][top]
         T_top = X["T"][top]
-        heat_soil, E_soil = compute_turbulent_surface_fluxes(
-            soil.energy_model, soil.hydrology_model, soil,
-            v_top, ti_top, T_top, t,
-        )
-        # potential rate: saturated surface (q_surf = q_sat); the pond is
-        # assumed at the soil surface temperature
-        nu_top = jnp.broadcast_to(
-            jnp.asarray(soil.soil_param_set.nu, dtype=dtype), v_top.shape
-        )
-        heat_pond, E_pond = compute_turbulent_surface_fluxes(
-            soil.energy_model, soil.hydrology_model, soil,
-            nu_top, jnp.zeros_like(ti_top), T_top, t,
-        )
         w = jnp.clip(
             jnp.maximum(h_s, 0.0) / land.surface.h_evap_smoothing, 0.0, 1.0
         )
-        out["evap_soil"] = (1.0 - w) * E_soil
-        out["evap_pond"] = w * E_pond
-        out["heat_flux"] = (1.0 - w) * heat_soil + w * heat_pond
+        # ONE MOST multisection solve over the blended pond/bare-soil
+        # surface (the pond is assumed at the soil surface temperature);
+        # the per-component split is exact given the converged scales, so
+        # the water budget closes identically — see
+        # compute_blended_surface_fluxes for the design note.
+        fluxes = compute_blended_surface_fluxes(
+            soil.energy_model, soil.hydrology_model, soil,
+            v_top, ti_top, T_top, w, t,
+        )
+        out["evap_soil"] = fluxes["evap_soil"]
+        out["evap_pond"] = fluxes["evap_pond"]
+        out["heat_flux"] = fluxes["heat_flux"]
     return out
 
 
@@ -436,14 +443,25 @@ def _exchange_from_state(
 
 
 def _rhs_given_exchange(
-    land: LandModel, grid: ColumnGrid, Y: dict, Ya: dict, t: Array, ex: dict
+    land: LandModel,
+    grid: ColumnGrid,
+    Y: dict,
+    Ya: dict,
+    t: Array,
+    ex: dict,
+    C: Optional[dict] = None,
 ) -> dict:
-    """The land tendency for fixed surface-exchange rates ``ex``.
+    """The land tendency for fixed surface-exchange rates ``ex`` (and,
+    optionally, fixed soil coefficient fields ``C`` — the
+    ``coefficient_update="step"`` composition, see
+    ``models/soil/lagged.py``).
 
     Both sides of the component boundary consume the SAME ``ex`` values
     (the soil top flux and the pond budget), so water closure
     ``d/dt[column + h_s] = P - evap - bottom outflow`` holds identically
-    whether ``ex`` is re-evaluated per stage or frozen per step."""
+    whether ``ex`` is re-evaluated per stage or frozen per step; ``C``
+    only replaces the pointwise closure sweep inside the soil tendency
+    (still exact flux form), so closure is untouched by lagging too."""
     soil = land.soil
     name = soil.name
     h_s = Y[land.surface.name]["h_s"]
@@ -468,7 +486,13 @@ def _rhs_given_exchange(
             bottom=bc.bottom,
         ),
     )
-    dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
+    if C is not None:
+        from landhydrology_tpu.models.soil.lagged import make_coefficient_fns
+
+        _, rhs_c = make_coefficient_fns(soil_t, grid)
+        dY_soil = rhs_c(C, {name: Y[name]}, Ya, t)
+    else:
+        dY_soil = make_soil_rhs(soil_t, grid)({name: Y[name]}, Ya, t)
 
     dh_s = ex["P"] - infiltration - ex["evap_pond"]
     if land.surface.runoff is not None:
@@ -502,25 +526,32 @@ def make_rhs(land: LandModel, grid: Optional[ColumnGrid] = None):
 
 @dataclasses.dataclass(frozen=True)
 class FrozenExchangeStepper:
-    """Stepper decorator realizing ``LandModel(surface_update="step")``:
-    evaluate the surface exchange (two MOST multisection solves + potential
-    infiltration) ONCE at the step's initial state ``(Y_n, t_n)`` and hold
-    it fixed across the inner stepper's RK stages.
+    """Stepper decorator realizing the LandModel's step-level policies:
 
-    A first-order splitting of the surface coupling (local error O(dt^2),
-    same class as the lateral Lie split in ``parallel/stepping.py``): the
-    surface state moves O(dt) per step while dt is pinned to the vertical
-    diffusion CFL (seconds) and the surface forcing evolves on
-    minutes-to-hours scales, so the frozen-exchange deviation sits far
-    below the discretization error (measured first order in
-    ``tests/test_land_model.py::test_surface_update_step_first_order``).
-    Mass/energy closure is untouched — both sides of the component
-    boundary consume the same frozen rates (see ``_rhs_given_exchange``).
+    - ``LandModel(surface_update="step")``: evaluate the surface exchange
+      (the MOST multisection solve + potential infiltration) ONCE at the
+      step's initial state ``(Y_n, t_n)`` and hold it fixed across the
+      inner stepper's RK stages;
+    - ``soil.coefficient_update="step"``: evaluate the soil's nonlinear
+      coefficient sweep (K, kappa, rho_e_int_l K, rho_c_s) once per step
+      the same way (see ``models/soil/lagged.py``).
+
+    Either, or both, may be active; the step reads the land config.  Both
+    are first-order splittings (local error O(dt^2), same class as the
+    lateral Lie split in ``parallel/stepping.py``): the surface state and
+    the coefficients move O(dt) per step while dt is pinned to the
+    vertical diffusion CFL (seconds), so the deviation sits far below the
+    discretization error (measured first order in
+    ``tests/test_land_model.py::test_surface_update_step_first_order`` and
+    ``tests/soil/test_lagged_coefficients.py``).  Mass/energy closure is
+    untouched — both sides of the component boundary consume the same
+    frozen rates, and the lagged soil tendency stays in exact flux form
+    (see ``_rhs_given_exchange``).
 
     The wrapped ``step`` IGNORES the rhs argument it is handed and drives
     ``_rhs_given_exchange`` directly — by construction the frozen rhs and
     the passed rhs trace the same physics, and ignoring the argument is
-    what guarantees no second exchange evaluation sneaks in.
+    what guarantees no second exchange/coefficient evaluation sneaks in.
     """
 
     inner: Any
@@ -532,27 +563,48 @@ class FrozenExchangeStepper:
         return getattr(self.inner, "stages", 1)
 
     def step(self, rhs, Y, Ya, t, dt):
+        land = self.land
         grid = self.grid
         if grid is None:
             grid = make_function_space(
-                self.land.soil.domain, self.land.float_dtype
+                land.soil.domain, land.float_dtype
             )
-        ex = _exchange_from_state(self.land, grid, Y, Ya, t)
+        ex = (
+            _exchange_from_state(land, grid, Y, Ya, t)
+            if land.surface_update == "step"
+            else None
+        )
+        C = None
+        if getattr(land.soil, "coefficient_update", "stage") == "step":
+            from landhydrology_tpu.models.soil.lagged import (
+                make_coefficient_fns,
+            )
+
+            compute_coeffs, _ = make_coefficient_fns(land.soil, grid)
+            C = compute_coeffs({land.soil.name: Y[land.soil.name]}, Ya, t)
 
         def frozen_rhs(Y_, Ya_, t_):
-            return _rhs_given_exchange(self.land, grid, Y_, Ya_, t_, ex)
+            ex_ = (
+                ex
+                if ex is not None
+                else _exchange_from_state(land, grid, Y_, Ya_, t_)
+            )
+            return _rhs_given_exchange(land, grid, Y_, Ya_, t_, ex_, C=C)
 
         return self.inner.step(frozen_rhs, Y, Ya, t, dt)
 
 
 def wrap_stepper_for_land(stepper, land, grid=None):
-    """Apply the land model's configured surface-update policy to a stepper
-    (idempotent; no-op for ``surface_update="stage"`` and for non-land
+    """Apply the land model's configured step-level policies (frozen
+    surface exchange and/or lagged soil coefficients) to a stepper
+    (idempotent; no-op when both are ``"stage"`` and for non-land
     models)."""
-    if (
+    wanted = (
         getattr(land, "surface_update", "stage") == "step"
-        and not isinstance(stepper, FrozenExchangeStepper)
-    ):
+        or getattr(getattr(land, "soil", None), "coefficient_update", "stage")
+        == "step"
+    )
+    if wanted and not isinstance(stepper, FrozenExchangeStepper):
         return FrozenExchangeStepper(inner=stepper, land=land, grid=grid)
     return stepper
 

@@ -133,10 +133,26 @@ class SoilModel(AbstractModel):
     #: effective-porosity correction — an exact specialization worth ~15%
     #: on the compute-bound sweep.
     assume_no_ice: bool = False
+    #: when to re-evaluate the nonlinear coefficient fields (K, kappa,
+    #: rho_e_int_l, rho_c_s — ``right_hand_side.jl:291-312``):
+    #: ``"stage"`` = inside every RK stage (the reference's semantics);
+    #: ``"step"`` = once per time step, frozen across the stages — a
+    #: first-order splitting (same class as ``LandModel.surface_update``)
+    #: that removes most of the pointwise closure sweep from 2 of 3 SSPRK33
+    #: stages.  Enforced by every engine via
+    #: :class:`~landhydrology_tpu.models.soil.lagged.LaggedCoefficientStepper`
+    #: (see ``models/soil/lagged.py`` for the accuracy model and the
+    #: when-to-use rule).
+    coefficient_update: str = "stage"
 
     def __post_init__(self):
         if self.assume_no_ice and self.freeze_thaw is not None:
             raise ValueError("assume_no_ice is incompatible with freeze_thaw")
+        if self.coefficient_update not in ("stage", "step"):
+            raise ValueError(
+                "SoilModel.coefficient_update must be 'stage' or 'step'; "
+                f"got {self.coefficient_update!r}"
+            )
         if self.freeze_thaw is not None:
             # the phase-change machinery reads rho_e_int and the hydraulic
             # retention curve: a prescribed component would fail at the first

@@ -48,6 +48,7 @@ def make_fused_column_run(
     tile_cols: int = 512,
     interpret: bool = False,
     streamed_geometry=None,
+    forcing_fields=(),
 ):
     """Build ``run(Y, t0) -> Y'`` advancing ``steps_per_call`` steps with the
     state resident in VMEM.
@@ -69,6 +70,18 @@ def make_fused_column_run(
     ``shard_map`` the host-side domain only knows the GLOBAL geometry, so
     the shard-local slices must arrive as data).  The model's ``domain`` is
     then only consulted for ``nelements`` and the flat batch rank.
+
+    ``forcing_fields``: names of per-step forcing fields (the
+    :mod:`~landhydrology_tpu.runtime.forcing_driver` routing — atmospheric
+    ``PrescribedAtmosForcing`` fields and/or ``"precipitation"``) streamed
+    THROUGH the kernel: ``run(Y, t0, forcing)`` then takes a dict of
+    ``(steps_per_call,)`` (one value per step) or ``(steps_per_call,
+    ncol)`` (per-column) arrays, row ``i`` applied during in-kernel step
+    ``i`` (piecewise-constant, exactly the XLA forced-scan semantics).
+    Scalar rows ride in SMEM indexed by the step counter; per-column rows
+    are tiled ``(steps_per_call, tile_cols)`` VMEM blocks — so time-varying
+    file forcing (reanalysis runs) keeps the fused-kernel rate instead of
+    falling back to the per-step XLA scan.
     """
     import numpy as np
 
@@ -91,14 +104,34 @@ def make_fused_column_run(
     if is_land:
         from landhydrology_tpu.models.land import FrozenExchangeStepper
 
-        while isinstance(stepper, FrozenExchangeStepper):
-            stepper = stepper.inner
+        def _strip_frozen(st):
+            # recursive: a FrozenExchangeStepper nested under another
+            # wrapper (e.g. a projection stepper applied in the opposite
+            # order) would otherwise survive into _rebind still pointing at
+            # the GLOBAL land model inside the tile-local kernel
+            if isinstance(st, FrozenExchangeStepper):
+                return _strip_frozen(st.inner)
+            if hasattr(st, "inner"):
+                return dataclasses.replace(st, inner=_strip_frozen(st.inner))
+            return st
+
+        stepper = _strip_frozen(stepper)
 
     # EquilibriumFreezeThaw does its physics in a post-step projection, not
     # in the rhs — wrap here so direct kernel users (and the sharded fused
     # path, which builds per-shard kernels) never silently drop it
     if getattr(soil, "freeze_thaw", None) is not None:
         stepper = wrap_stepper_with_projection(stepper, soil)
+
+    # SoilModel(coefficient_update="step"): apply the lagged-coefficient
+    # policy for direct kernel users (idempotent if the caller wrapped);
+    # the wrapper's model/grid are retargeted to the tile-local slices by
+    # _rebind inside the kernel body.  LandModel composition is handled by
+    # the in-kernel FrozenExchangeStepper below.
+    if not is_land:
+        from landhydrology_tpu.models.soil.lagged import wrap_stepper_for_soil
+
+        stepper = wrap_stepper_for_soil(stepper, soil)
 
     if soil.lateral_coupling is not None:
         raise ValueError(
@@ -114,12 +147,24 @@ def make_fused_column_run(
             "(diffusive routing Lie-split at segment boundaries) or the "
             "XLA path"
         )
-    if is_land and np.ndim(surface.precipitation(0.0)) > 0:
+    forcing_fields = tuple(forcing_fields)
+    if forcing_fields:
+        from landhydrology_tpu.runtime.forcing_driver import _split_routing
+
+        atmos_forced, precip_forced = _split_routing(model, forcing_fields)
+    else:
+        atmos_forced, precip_forced = [], False
+    if (
+        is_land
+        and not precip_forced
+        and np.ndim(surface.precipitation(0.0)) > 0
+    ):
         raise ValueError(
             "the fused kernel advances time internally, so per-column "
             "precipitation arrays cannot be tiled consistently — use a "
-            "scalar-returning precipitation(t) here, or the XLA path / the "
-            "forcing-stream driver for per-column rain"
+            "scalar-returning precipitation(t) here, stream the rain rows "
+            "via forcing_fields=('precipitation', ...), or use the XLA "
+            "path for callable per-column rain"
         )
     if len(soil.domain.batch_shape) != 1:
         raise ValueError(
@@ -258,78 +303,206 @@ def make_fused_column_run(
 
     n_extra = 1 if variable_dz else 0  # streamed per-column dz
 
-    def kernel(t0_ref, zc_ref, *refs):
-        param_refs = refs[:n_params]
-        extra_refs = refs[n_params : n_params + n_extra]
-        state_refs = refs[n_params + n_extra : n_params + n_extra + n_state]
-        surf_refs = refs[
-            n_params + n_extra + n_state : n_params + n_extra + n_state + n_surf
-        ]
-        out_refs = refs[n_params + n_extra + n_state + n_surf :]
-        # (1, tile) blocks -> (tile,): broadcasts against both (nz, tile)
-        # center fields and (tile,) boundary-face slices
-        model_tile, soil_tile = _model_for_tile(
-            [r[:][0] for r in param_refs]
-        )
-        grid_k = (
-            dataclasses.replace(grid_lit, dz=extra_refs[0][:][0])
-            if variable_dz
-            else grid_lit
-        )
-        if is_land:
-            from landhydrology_tpu.models.land import make_rhs as make_land_rhs
+    def _make_kernel(scal_names, col_names):
+        """Kernel body for a given forcing layout: ``scal_names`` arrive as
+        (steps_per_call,) SMEM rows, ``col_names`` as (steps_per_call,
+        tile) VMEM blocks; both are indexed by the in-kernel step counter."""
+        n_fscal = len(scal_names)
+        n_fcol = len(col_names)
 
-            rhs = make_land_rhs(model_tile, grid_k)
-        else:
-            rhs = make_rhs(model_tile, grid_k)
-
-        # steppers that close over the model/grid (PhaseEquilibriumStepper's
-        # projection, the imex tridiagonal solvers) must see the tile-local
-        # parameter slices and the literal kernel grid (they are soil-state
-        # steppers, so the soil tile is the right rebind target)
-        def _rebind(st):
-            if hasattr(st, "inner"):
-                st = dataclasses.replace(st, inner=_rebind(st.inner))
-            if hasattr(st, "model"):
-                st = dataclasses.replace(st, model=soil_tile)
-            if hasattr(st, "grid"):
-                st = dataclasses.replace(st, grid=grid_k)
-            return st
-
-        stepper_k = _rebind(stepper)
-        if is_land and model.surface_update == "step":
-            from landhydrology_tpu.models.land import FrozenExchangeStepper
-
-            # tile-local freeze: the exchange is evaluated once per step on
-            # the tile's own land model/grid, inside the kernel
-            stepper_k = FrozenExchangeStepper(
-                inner=stepper_k, land=model_tile, grid=grid_k
+        def kernel(t0_ref, zc_ref, *refs):
+            param_refs = refs[:n_params]
+            k0 = n_params
+            extra_refs = refs[k0 : k0 + n_extra]
+            k0 += n_extra
+            fscal_refs = refs[k0 : k0 + n_fscal]
+            k0 += n_fscal
+            fcol_refs = refs[k0 : k0 + n_fcol]
+            k0 += n_fcol
+            state_refs = refs[k0 : k0 + n_state]
+            surf_refs = refs[k0 + n_state : k0 + n_state + n_surf]
+            out_refs = refs[k0 + n_state + n_surf :]
+            # (1, tile) blocks -> (tile,): broadcasts against both (nz, tile)
+            # center fields and (tile,) boundary-face slices
+            model_tile, soil_tile = _model_for_tile(
+                [r[:][0] for r in param_refs]
             )
-        Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
-        if is_land:
-            Y[surf_name] = {"h_s": surf_refs[0][:][0]}  # (tile,)
-        # prescribed aux fields are recomputed from their (z, t) profiles by
-        # the rhs's update_aux, entirely inside the kernel
-        Ya = {"zc": zc_ref[:], name: {}}
-        t0 = t0_ref[0]
+            grid_k = (
+                dataclasses.replace(grid_lit, dz=extra_refs[0][:][0])
+                if variable_dz
+                else grid_lit
+            )
 
-        def body(i, Y):
-            t = t0 + i.astype(dtype) * dt_c
-            return stepper_k.step(rhs, Y, Ya, t, jnp.asarray(dt_c, dtype=dtype))
+            # steppers that close over the model/grid (PhaseEquilibrium-
+            # Stepper's projection, the imex tridiagonal solvers, the
+            # lagged-coefficient wrapper) must see the tile-local parameter
+            # slices and the literal kernel grid (they are soil-state
+            # steppers, so the soil tile is the right rebind target)
+            def _rebind(st, soil_x):
+                if hasattr(st, "inner"):
+                    st = dataclasses.replace(
+                        st, inner=_rebind(st.inner, soil_x)
+                    )
+                if hasattr(st, "model"):
+                    st = dataclasses.replace(st, model=soil_x)
+                if hasattr(st, "grid"):
+                    st = dataclasses.replace(st, grid=grid_k)
+                return st
 
-        Yf = jax.lax.fori_loop(0, steps_per_call, body, Y)
-        for k, r in zip(state_vars, out_refs):
-            r[:] = Yf[name][k]
-        if is_land:
-            out_refs[n_state][:] = Yf[surf_name]["h_s"].reshape(1, -1)
+            def make_step(model_t, soil_t):
+                """(rhs, stepper) for a tile-local model — rebuilt per step
+                when forcing rows substitute into the BCs."""
+                if is_land:
+                    from landhydrology_tpu.models.land import (
+                        make_rhs as make_land_rhs,
+                    )
 
-    def run(Y: dict, t0) -> dict:
+                    rhs = make_land_rhs(model_t, grid_k)
+                else:
+                    rhs = make_rhs(model_t, grid_k)
+                st = _rebind(stepper, soil_t)
+                if is_land and (
+                    model.surface_update == "step"
+                    or getattr(soil, "coefficient_update", "stage") == "step"
+                ):
+                    from landhydrology_tpu.models.land import (
+                        FrozenExchangeStepper,
+                    )
+
+                    # tile-local step policies: the frozen exchange and/or
+                    # lagged coefficients are evaluated once per step on the
+                    # tile's own land model/grid, inside the kernel
+                    st = FrozenExchangeStepper(
+                        inner=st, land=model_t, grid=grid_k
+                    )
+                return rhs, st
+
+            forced = bool(n_fscal or n_fcol)
+            if not forced:
+                rhs_k, stepper_k = make_step(model_tile, soil_tile)
+
+            Y = {name: {k: r[:] for k, r in zip(state_vars, state_refs)}}
+            if is_land:
+                Y[surf_name] = {"h_s": surf_refs[0][:][0]}  # (tile,)
+            # prescribed aux fields are recomputed from their (z, t)
+            # profiles by the rhs's update_aux, entirely inside the kernel
+            Ya = {"zc": zc_ref[:], name: {}}
+            t0 = t0_ref[0]
+            dt_k = t0_ref[1]  # traced step size (adaptive-fused path)
+
+            def body(i, Y):
+                t = t0 + i.astype(dtype) * dt_k
+                if forced:
+                    # this step's forcing row: scalars from SMEM, per-column
+                    # rows via a dynamic sublane slice of the VMEM block
+                    rows = {k: r[i] for k, r in zip(scal_names, fscal_refs)}
+                    for k, r in zip(col_names, fcol_refs):
+                        rows[k] = r[pl.dslice(i, 1), :][0]
+                    soil_i = soil_tile
+                    if atmos_forced:
+                        bc_t = soil_tile.boundary_conditions
+                        top_i = dataclasses.replace(
+                            bc_t.top,
+                            **{k: rows[k] for k in atmos_forced if k in rows},
+                        )
+                        from landhydrology_tpu.models.soil.boundary import (
+                            SoilColumnBC as _ColBC,
+                        )
+
+                        soil_i = dataclasses.replace(
+                            soil_tile,
+                            boundary_conditions=_ColBC(
+                                top=top_i, bottom=bc_t.bottom
+                            ),
+                        )
+                    model_i = soil_i
+                    if is_land:
+                        surf_i = model_tile.surface
+                        if precip_forced:
+                            P_row = rows["precipitation"]
+                            surf_i = dataclasses.replace(
+                                surf_i, precipitation=lambda t_: P_row
+                            )
+                        model_i = dataclasses.replace(
+                            model_tile, soil=soil_i, surface=surf_i
+                        )
+                    rhs_i, stepper_i = make_step(model_i, soil_i)
+                else:
+                    rhs_i, stepper_i = rhs_k, stepper_k
+                return stepper_i.step(rhs_i, Y, Ya, t, dt_k)
+
+            Yf = jax.lax.fori_loop(0, steps_per_call, body, Y)
+            for k, r in zip(state_vars, out_refs):
+                r[:] = Yf[name][k]
+            if is_land:
+                out_refs[n_state][:] = Yf[surf_name]["h_s"].reshape(1, -1)
+
+        return kernel
+
+    def run(Y: dict, t0, forcing=None, dt_run=None) -> dict:
+        """Advance ``steps_per_call`` steps from ``t0``.  ``dt_run``
+        overrides the factory ``dt`` with a possibly TRACED step size (the
+        adaptive-fused driver's control variable); both ride in the same
+        SMEM scalar slot, so the override costs nothing."""
         states = [Y[name][k] for k in state_vars]
         ncol = states[0].shape[1]
         if ncol % tile_cols:
             raise ValueError(f"ncol={ncol} not a multiple of tile_cols={tile_cols}")
         n_tiles = ncol // tile_cols
-        t0 = jnp.reshape(jnp.asarray(t0, dtype=dtype), (1,))
+        dt_in = dt_c if dt_run is None else dt_run
+        t0 = jnp.stack(
+            [
+                jnp.asarray(t0, dtype=dtype),
+                jnp.asarray(dt_in, dtype=dtype),
+            ]
+        )
+
+        # route the forcing rows: per-step scalars -> SMEM, per-column
+        # fields -> column-tiled VMEM blocks (layout keys the kernel build)
+        if forcing_fields and forcing is None:
+            raise ValueError(
+                f"this fused run streams forcing fields {forcing_fields}; "
+                "pass run(Y, t0, forcing=...) with (steps_per_call,) or "
+                "(steps_per_call, ncol) rows"
+            )
+        if forcing is not None and not forcing_fields:
+            raise ValueError(
+                "forcing passed but the kernel was built without "
+                "forcing_fields"
+            )
+        scal_names, col_names = [], []
+        fscal_inputs, fcol_inputs = [], []
+        if forcing is not None:
+            if set(forcing) != set(forcing_fields):
+                raise KeyError(
+                    f"forcing keys {sorted(forcing)} != declared "
+                    f"forcing_fields {sorted(forcing_fields)}"
+                )
+            for k in forcing_fields:
+                v = jnp.asarray(forcing[k], dtype=dtype)
+                if v.shape == (steps_per_call,):
+                    scal_names.append(k)
+                    fscal_inputs.append(v)
+                elif v.shape == (steps_per_call, ncol):
+                    col_names.append(k)
+                    fcol_inputs.append(v)
+                else:
+                    raise ValueError(
+                        f"forcing field {k!r} has shape {v.shape}; expected "
+                        f"({steps_per_call},) or ({steps_per_call}, {ncol})"
+                    )
+        kernel = _make_kernel(tuple(scal_names), tuple(col_names))
+        fscal_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in fscal_inputs
+        ]
+        fcol_specs = [
+            pl.BlockSpec(
+                (steps_per_call, tile_cols),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in fcol_inputs
+        ]
 
         col_spec = pl.BlockSpec(
             (nz, tile_cols), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -376,7 +549,8 @@ def make_fused_column_run(
                     f"flat column batch ({ncol},)"
                 )
             surf_inputs = [h_s.reshape(1, ncol)]
-        n_in = 2 + n_params + n_extra  # t0, zc, params, dz precede the state
+        # t0, zc, params, dz, forcing rows precede the state
+        n_in = 2 + n_params + n_extra + len(fscal_inputs) + len(fcol_inputs)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -385,6 +559,8 @@ def make_fused_column_run(
                 zc_spec,
                 *([param_spec] * n_params),
                 *extra_specs,
+                *fscal_specs,
+                *fcol_specs,
                 *([col_spec] * n_state),
                 *([param_spec] * n_surf),
             ],
@@ -397,7 +573,10 @@ def make_fused_column_run(
                 n_in + j: j for j in range(n_state + n_surf)
             },
             interpret=interpret,
-        )(t0, zc, *array_params, *extra_inputs, *states, *surf_inputs)
+        )(
+            t0, zc, *array_params, *extra_inputs, *fscal_inputs,
+            *fcol_inputs, *states, *surf_inputs,
+        )
         if n_state + n_surf == 1:
             out = (out,) if not isinstance(out, (tuple, list)) else out
         result = {name: {k: o for k, o in zip(state_vars, out)}}

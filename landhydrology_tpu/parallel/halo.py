@@ -63,6 +63,53 @@ def _local_laplacian(f_local: Array, dx, mesh_shape: dict, axis_names) -> Array:
     return (d2x + d2y) / (dx * dx)
 
 
+def _local_kinematic_tendency(
+    ro, h_local: Array, mesh_shape: dict, axis_names
+) -> Array:
+    """Per-shard kinematic/diffusive-wave pond tendency with one-cell halo
+    exchange — the sharded formulation of
+    ``models/land._kinematic_wave_tendency``.
+
+    Face fluxes are computed from the extended (halo-padded) water surface
+    and pond depth; the boundary face between two shards is evaluated on
+    BOTH sides from identical inputs with identical op order, so the face
+    flux telescopes exactly (conservation) and an N-shard run is bitwise
+    the 1-shard roll formulation (device-count invariance, tested in
+    ``tests/parallel/test_sharding.py``).  ``ro.elevation`` must already be
+    the shard-LOCAL slab (streamed as a sharded argument by
+    ``make_fused_sharded_run``) or a scalar.
+    """
+    from landhydrology_tpu.models.land import _manning_face_flux
+
+    h_eff = jnp.maximum(h_local - ro.h_detention, 0.0)
+    z = jnp.broadcast_to(
+        jnp.asarray(ro.elevation, dtype=h_local.dtype), h_local.shape
+    )
+    w = z + h_eff if ro.water_surface_slope else z
+    dh = jnp.zeros_like(h_local)
+    for axis, ax_name in enumerate(axis_names):
+        n = h_local.shape[axis]
+
+        def sl(a, b, axis=axis):
+            return tuple(
+                slice(a, b) if k == axis else slice(None)
+                for k in range(h_local.ndim)
+            )
+
+        lo_w, hi_w = _exchange_axis(w, ax_name, mesh_shape[ax_name], axis)
+        lo_h, hi_h = _exchange_axis(h_eff, ax_name, mesh_shape[ax_name], axis)
+        w_ext = jnp.concatenate([lo_w, w, hi_w], axis=axis)
+        h_ext = jnp.concatenate([lo_h, h_eff, hi_h], axis=axis)
+        # faces f_j between extended cells j and j+1, j = 0..n (n+1 faces:
+        # the prev-shard boundary face through the next-shard boundary face)
+        s = (w_ext[sl(0, n + 1)] - w_ext[sl(1, n + 2)]) / ro.dx
+        h_up = jnp.where(s > 0.0, h_ext[sl(0, n + 1)], h_ext[sl(1, n + 2)])
+        q = _manning_face_flux(s, h_up, ro.manning_n)
+        # local cell i: inflow face f_i, outflow face f_{i+1}
+        dh = dh - (q[sl(1, n + 1)] - q[sl(0, n)]) / ro.dx
+    return dh
+
+
 def halo_exchanged_laplacian(f: Array, dx, mesh: Mesh) -> Array:
     """Periodic 5-point Laplacian of a ``(nx, ny)`` field sharded over the
     first two mesh axes, via explicit ring halo exchange.

@@ -104,9 +104,15 @@ def make_sharded_step(
         if is_land:
             from landhydrology_tpu.models.land import wrap_stepper_for_land
 
-            # surface_update="step": freeze the exchange per step (no-op
-            # for the default stage-level policy)
+            # step-level policies (frozen exchange / lagged coefficients):
+            # no-op for the default stage-level config
             stepper = wrap_stepper_for_land(stepper, model, grid)
+        else:
+            from landhydrology_tpu.models.soil.lagged import (
+                wrap_stepper_for_soil,
+            )
+
+            stepper = wrap_stepper_for_soil(stepper, model, grid)
 
         @jax.jit
         def step(Y, Ya, t):
@@ -117,6 +123,20 @@ def make_sharded_step(
 
     if mode != "shard_map":
         raise ValueError(f"unknown mode {mode!r}")
+    # a caller-applied LaggedCoefficientStepper closes over the GLOBAL
+    # model and would drop this branch's halo lateral term (its step
+    # ignores the passed rhs); strip it — the policy is re-applied
+    # natively inside _step_local from the shard-local model
+    from landhydrology_tpu.models.soil.lagged import LaggedCoefficientStepper
+
+    def _strip_lagged(st):
+        if isinstance(st, LaggedCoefficientStepper):
+            return _strip_lagged(st.inner)
+        if hasattr(st, "inner"):
+            return dataclasses.replace(st, inner=_strip_lagged(st.inner))
+        return st
+
+    stepper = _strip_lagged(stepper)
     if is_land:
         raise ValueError(
             "make_sharded_step(mode='shard_map') supports SoilModel only; "
@@ -243,24 +263,43 @@ def make_sharded_step(
             else None
         )
 
-        def rhs(Y, Ya, t):
-            dY = rhs_local(Y, Ya, t)
-            if lc is not None:
-                vartheta_top = Y[name]["vartheta_l"][top_idx]
-                theta_i_top = Y[name]["theta_i"][top_idx]
-                nu_eff = sp.nu - theta_i_top
-                psi_top = sw.pressure_head(hm, vartheta_top, nu_eff, sp.S_s)
-                # local zc travels with the sharded aux state; for uniform
-                # grids the (1, ...) singleton slab broadcasts identically
-                # to the old scalar reshape
-                zc_top = Ya["zc"][top_idx]
-                h_top = psi_top + zc_top
-                lap = _local_laplacian(h_top, lc.dx, mesh_shape, ax)
-                d = dY[name]["vartheta_l"].at[top_idx].add(
-                    lc.conductance / grid_shard.dz * lap
-                )
-                dY = {**dY, name: {**dY[name], "vartheta_l": d}}
-            return dY
+        def with_lateral(base):
+            def rhs(Y, Ya, t):
+                dY = base(Y, Ya, t)
+                if lc is not None:
+                    vartheta_top = Y[name]["vartheta_l"][top_idx]
+                    theta_i_top = Y[name]["theta_i"][top_idx]
+                    nu_eff = sp.nu - theta_i_top
+                    psi_top = sw.pressure_head(hm, vartheta_top, nu_eff, sp.S_s)
+                    # local zc travels with the sharded aux state; for
+                    # uniform grids the (1, ...) singleton slab broadcasts
+                    # identically to the old scalar reshape
+                    zc_top = Ya["zc"][top_idx]
+                    h_top = psi_top + zc_top
+                    lap = _local_laplacian(h_top, lc.dx, mesh_shape, ax)
+                    d = dY[name]["vartheta_l"].at[top_idx].add(
+                        lc.conductance / grid_shard.dz * lap
+                    )
+                    dY = {**dY, name: {**dY[name], "vartheta_l": d}}
+                return dY
+
+            return rhs
+
+        # coefficient_update="step" is realized natively here (the halo
+        # lateral term composes on top of the frozen-coefficient tendency,
+        # which a generic stepper wrapper could not express)
+        if getattr(model_shard, "coefficient_update", "stage") == "step":
+            from landhydrology_tpu.models.soil.lagged import (
+                make_coefficient_fns,
+            )
+
+            compute_coeffs, rhs_c = make_coefficient_fns(
+                model_shard, grid_shard
+            )
+            C = compute_coeffs(Y, Ya, t)
+            rhs = with_lateral(lambda Y_, Ya_, t_: rhs_c(C, Y_, Ya_, t_))
+        else:
+            rhs = with_lateral(rhs_local)
 
         Y2 = stepper_local.step(rhs, Y, Ya, t, dt_a)
         return Y2, t + dt_a
@@ -346,11 +385,16 @@ def make_fused_sharded_run(
 
     Heterogeneous params, BatchedBC and MOST all run here.  LandModel
     composes too: the pond state h_s shards with the columns, the pond +
-    MOST exchange runs inside the kernel, and diffusive pond routing
-    (:class:`~landhydrology_tpu.models.land.RunoffRouting`) joins the
-    lateral Lie split at segment boundaries with the same halo exchange
-    (Manning :class:`KinematicWaveRouting` needs upwinded halo stencils and
-    stays on the XLA path for now).
+    MOST exchange runs inside the kernel, and pond routing joins the
+    lateral Lie split at segment boundaries — diffusive
+    :class:`~landhydrology_tpu.models.land.RunoffRouting` via the halo
+    Laplacian, Manning :class:`KinematicWaveRouting` via upwinded face
+    fluxes with one-cell halo exchange
+    (``parallel/halo._local_kinematic_tendency``; the per-column elevation
+    field is streamed as a sharded argument).  The kinematic window has no
+    static stability check (the wave speed is state-dependent) — size
+    ``steps_per_call * dt`` with
+    :func:`~landhydrology_tpu.models.land.kinematic_wave_dt_limit`.
 
     Returns jitted ``run(Y, Ya, t0) -> (Y', t')`` advancing
     ``n_calls * steps_per_call`` steps.
@@ -387,22 +431,30 @@ def make_fused_sharded_run(
                 "reduce steps_per_call or dt"
             )
     ro = surface.runoff if is_land else None
+    ro_is_kinematic = False
     if ro is not None:
-        from landhydrology_tpu.models.land import RunoffRouting
+        from landhydrology_tpu.models.land import (
+            KinematicWaveRouting,
+            RunoffRouting,
+        )
 
-        if not isinstance(ro, RunoffRouting):
-            raise ValueError(
-                "the fused sharded path Lie-splits diffusive RunoffRouting "
-                f"only; {type(ro).__name__} needs upwinded halo stencils — "
-                "use the XLA path (make_sharded_step mode='pjit')"
-            )
-        ro_limit = ro.dx * ro.dx / (4.0 * ro.conductance)
-        if seg_dt > ro_limit:
-            raise ValueError(
-                f"routing split window steps_per_call*dt={seg_dt:g}s exceeds "
-                f"the diffusive routing limit dx^2/(4c)={ro_limit:g}s; "
-                "reduce steps_per_call or dt"
-            )
+        if isinstance(ro, KinematicWaveRouting):
+            # upwinded Manning fluxes with one-cell halo exchange at
+            # segment boundaries (parallel/halo._local_kinematic_tendency).
+            # The kinematic wave speed depends on the evolving pond depth,
+            # so there is no static window check — size the window with
+            # models.land.kinematic_wave_dt_limit at the expected depths.
+            ro_is_kinematic = True
+        elif isinstance(ro, RunoffRouting):
+            ro_limit = ro.dx * ro.dx / (4.0 * ro.conductance)
+            if seg_dt > ro_limit:
+                raise ValueError(
+                    f"routing split window steps_per_call*dt={seg_dt:g}s "
+                    f"exceeds the diffusive routing limit dx^2/(4c)="
+                    f"{ro_limit:g}s; reduce steps_per_call or dt"
+                )
+        else:
+            raise ValueError(f"unknown runoff routing config {ro!r}")
     soil_base = dataclasses.replace(soil_model, lateral_coupling=None)
     if is_land:
         model_base = dataclasses.replace(
@@ -460,6 +512,18 @@ def make_fused_sharded_run(
     else:
         geom_args = ()
         geom_specs = ()
+    n_geom = len(geom_args)
+
+    # kinematic routing over real terrain: the per-column elevation field
+    # must arrive as a SHARD-LOCAL slab (closed over, it would keep its
+    # global shape inside the per-shard program) — stream it like the
+    # parameter leaves
+    if ro_is_kinematic and jnp.ndim(ro.elevation) > 0:
+        ro_args = (jnp.asarray(ro.elevation, dtype=dtype),)
+        ro_specs = (_param_spec(ro_args[0]),)
+    else:
+        ro_args = ()
+        ro_specs = ()
 
     def _model_for_shard(local_arrays, local_ncol):
         leaves = list(flat_params)
@@ -527,6 +591,12 @@ def make_fused_sharded_run(
                 args[n_param_args].reshape(ncol),
                 Ya["zc"].reshape(nz, ncol),
             )
+        if ro_args:
+            ro_local = dataclasses.replace(
+                ro, elevation=args[n_param_args + n_geom]
+            )
+        else:
+            ro_local = ro
         fused = make_fused_column_run(
             model_shard,
             stepper,
@@ -572,13 +642,27 @@ def make_fused_sharded_run(
                 d = Yc[name]["vartheta_l"].at[top_idx].set(new_top)
                 Yc = {**Yc, name: {**Yc[name], "vartheta_l": d}}
             if ro is not None:
-                # diffusive pond routing, Lie-split over the same window and
-                # numerically identical to the roll Laplacian of
-                # models/land.routing_tendency (device-count invariant)
+                # pond routing, Lie-split over the same window and
+                # numerically identical to the roll formulation of
+                # models/land.routing_tendency (device-count invariant):
+                # diffusive -> halo Laplacian; kinematic -> upwinded
+                # Manning face fluxes with one-cell halo exchange
                 hs = Yc[surf_name]["h_s"].reshape(local_batch)
-                h_eff = jnp.maximum(hs - ro.h_detention, 0.0)
-                lap_h = _local_laplacian(h_eff, ro.dx, mesh_shape, ax)
-                hs2 = hs + (steps_per_call * dt_f) * ro.conductance * lap_h
+                if ro_is_kinematic:
+                    from landhydrology_tpu.parallel.halo import (
+                        _local_kinematic_tendency,
+                    )
+
+                    dh = _local_kinematic_tendency(
+                        ro_local, hs, mesh_shape, ax
+                    )
+                    hs2 = hs + (steps_per_call * dt_f) * dh
+                else:
+                    h_eff = jnp.maximum(hs - ro.h_detention, 0.0)
+                    lap_h = _local_laplacian(h_eff, ro.dx, mesh_shape, ax)
+                    hs2 = (
+                        hs + (steps_per_call * dt_f) * ro.conductance * lap_h
+                    )
                 Yc = {**Yc, surf_name: {"h_s": hs2.reshape(ncol)}}
             return (Yc, t), None
 
@@ -604,11 +688,12 @@ def make_fused_sharded_run(
             _run_local,
             mesh=mesh,
             in_specs=(
-                specs_for(Y), specs_for(Ya), P(), *param_specs, *geom_specs
+                specs_for(Y), specs_for(Ya), P(), *param_specs, *geom_specs,
+                *ro_specs,
             ),
             out_specs=(specs_for(Y), P()),
             check_vma=False,
         )
-        return fn(Y, Ya, t0, *param_args, *geom_args)
+        return fn(Y, Ya, t0, *param_args, *geom_args, *ro_args)
 
     return jax.jit(run)

@@ -79,6 +79,10 @@ def make_forced_segment_run(
     stepper: AbstractTimestepper = SSPRK33(),
     dt: float = 1.0,
     field_names=(),
+    engine: str = "xla",
+    steps_per_call: int = 32,
+    tile_cols: int = 512,
+    interpret=None,
 ):
     """Build jitted ``run(Y, Ya, t0, forcing) -> (Y', t')`` advancing one
     step per forcing row.
@@ -87,6 +91,13 @@ def make_forced_segment_run(
     each step rebuilds the MOST boundary / rain rate from its row and takes
     one ``stepper`` step — all inside one ``lax.scan``, so the whole window
     is a single device program.
+
+    ``engine="fused"`` streams the forcing rows THROUGH the VMEM-resident
+    Pallas column kernel (``forcing_fields`` support of
+    ``make_fused_column_run``) in chunks of ``steps_per_call`` rows — the
+    reanalysis workload at fused-kernel rate, with identical
+    piecewise-constant row semantics (equivalence-tested against the XLA
+    scan in ``tests/test_forcing_driver.py``).
     """
     is_land = hasattr(model, "soil") and hasattr(model, "surface")
     soil = model.soil if is_land else model
@@ -94,6 +105,15 @@ def make_forced_segment_run(
     dtype = model.float_dtype
     atmos_keys, has_precip = _split_routing(model, tuple(field_names))
     bc = soil.boundary_conditions
+
+    if engine == "fused":
+        return _make_forced_fused_run(
+            model, stepper, dt, tuple(field_names),
+            steps_per_call=steps_per_call, tile_cols=tile_cols,
+            interpret=interpret,
+        )
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r} (xla or fused)")
 
     from landhydrology_tpu.models.soil.freeze_thaw import (
         wrap_stepper_with_projection,
@@ -135,13 +155,104 @@ def make_forced_segment_run(
             Yc, t = carry
             m = _model_at(rows)
             rhs = m.make_rhs(grid)
-            Yn = stepper.step(rhs, Yc, Ya, t, dt_a)
+            # Step-level policies (frozen exchange / lagged coefficients)
+            # are applied around the ROW-LOCAL model, matching every other
+            # engine (the forcing row is constant over the step, so the
+            # frozen exchange/coefficients see exactly this row's
+            # atmosphere)
+            if is_land:
+                from landhydrology_tpu.models.land import wrap_stepper_for_land
+
+                st = wrap_stepper_for_land(stepper, m, grid)
+            else:
+                from landhydrology_tpu.models.soil.lagged import (
+                    wrap_stepper_for_soil,
+                )
+
+                st = wrap_stepper_for_soil(stepper, m, grid)
+            Yn = st.step(rhs, Yc, Ya, t, dt_a)
             return (Yn, t + dt_a), None
 
         (Yf, tf), _ = jax.lax.scan(
             body, (Y, jnp.asarray(t0, dtype=dtype)), forcing
         )
         return Yf, tf
+
+    return jax.jit(run)
+
+
+def _make_forced_fused_run(
+    model, stepper, dt, field_names, *, steps_per_call, tile_cols, interpret
+):
+    """The fused engine of :func:`make_forced_segment_run`: chunk the
+    forcing rows into ``steps_per_call`` segments and stream each chunk
+    through the Pallas kernel's forcing inputs."""
+    import numpy as np
+
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = model.float_dtype
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil = model.soil if is_land else model
+    batch = soil.domain.batch_shape
+    ncol = int(np.prod(batch)) if batch else 1
+    fused_cache: dict = {}
+
+    def fused_for(spc):
+        if spc not in fused_cache:
+            fused_cache[spc] = make_fused_column_run(
+                model,
+                stepper,
+                dt=dt,
+                steps_per_call=spc,
+                tile_cols=min(tile_cols, ncol),
+                interpret=interpret,
+                forcing_fields=field_names,
+            )
+        return fused_cache[spc]
+
+    def _row_shape_ok(k, v, n_steps):
+        if v.shape == (n_steps,):
+            return v
+        if v.shape == (n_steps, ncol):
+            return v
+        raise ValueError(
+            f"forcing field {k!r} has shape {v.shape}; the fused engine "
+            f"expects ({n_steps},) or ({n_steps}, {ncol})"
+        )
+
+    def run(Y, Ya, t0, forcing):
+        n_steps = next(iter(forcing.values())).shape[0]
+        forcing = {
+            k: _row_shape_ok(k, jnp.asarray(v, dtype=dtype), n_steps)
+            for k, v in forcing.items()
+        }
+        n_chunks, rem = divmod(n_steps, steps_per_call)
+        t = jnp.asarray(t0, dtype=dtype)
+        if n_chunks:
+            fused = fused_for(steps_per_call)
+            head = {
+                k: v[: n_chunks * steps_per_call].reshape(
+                    (n_chunks, steps_per_call) + v.shape[1:]
+                )
+                for k, v in forcing.items()
+            }
+
+            def body(carry, rows):
+                Yc, tc = carry
+                Yn = fused(Yc, tc, forcing=rows)
+                return (Yn, tc + steps_per_call * dt), None
+
+            (Y, t), _ = jax.lax.scan(body, (Y, t), head)
+        if rem:
+            tail = {
+                k: v[n_chunks * steps_per_call :] for k, v in forcing.items()
+            }
+            Y = fused_for(rem)(Y, t, forcing=tail)
+            t = t + rem * dt
+        return Y, t
 
     return jax.jit(run)
 
@@ -159,6 +270,9 @@ def run_forced(
     stop: Optional[int] = None,
     fields=None,
     on_window=None,
+    engine: str = "xla",
+    steps_per_call: int = 32,
+    tile_cols: int = 512,
 ):
     """Integrate ``model`` from ``t0`` consuming forcing windows from a
     :class:`~landhydrology_tpu.runtime.ForcingReader` — the end-to-end
@@ -182,7 +296,10 @@ def run_forced(
     is_land = hasattr(model, "soil") and hasattr(model, "surface")
     batch = (model.soil if is_land else model).domain.batch_shape
     ncol = int(np.prod(batch)) if batch else 1
-    seg = make_forced_segment_run(model, stepper, dt=dt, field_names=fields)
+    seg = make_forced_segment_run(
+        model, stepper, dt=dt, field_names=fields, engine=engine,
+        steps_per_call=steps_per_call, tile_cols=tile_cols,
+    )
 
     def _rows_to_array(k, v):
         nt = v.shape[0]

@@ -106,16 +106,24 @@ class Simulation:
             )
 
             stepper = wrap_stepper_with_projection(stepper, ft_owner)
-        # LandModel(surface_update="step"): freeze the surface exchange
-        # (MOST solves, potential infiltration) across the RK stages of
-        # each step.  Outermost wrap — the frozen rhs flows through any
-        # projection stepper unchanged.  The fused engine re-wraps with
-        # tile-local land/grid inside the kernel (column_kernel.py), so
-        # this wrapper is transparently rebuilt there.
-        if getattr(model, "surface_update", "stage") == "step":
+        # Step-level policies — LandModel(surface_update="step") freezes the
+        # surface exchange (MOST solve, potential infiltration) and
+        # SoilModel(coefficient_update="step") freezes the nonlinear
+        # coefficient sweep across the RK stages of each step.  Outermost
+        # wrap — the frozen rhs flows through any projection stepper
+        # unchanged.  The fused engine re-wraps with tile-local model/grid
+        # inside the kernel (column_kernel.py), so these wrappers are
+        # transparently rebuilt there.
+        if hasattr(model, "surface"):  # LandModel: both policies in one wrap
             from landhydrology_tpu.models.land import wrap_stepper_for_land
 
             stepper = wrap_stepper_for_land(stepper, model)
+        else:
+            from landhydrology_tpu.models.soil.lagged import (
+                wrap_stepper_for_soil,
+            )
+
+            stepper = wrap_stepper_for_soil(stepper, model)
         self.stepper = stepper
         self.dt = float(dt)
         self.tspan = (float(tspan[0]), float(tspan[1]))

@@ -619,16 +619,81 @@ def test_fused_sharded_land_routing_device_invariant():
     assert hf.std() < h0.std()  # routing spread the bump
 
 
-def test_fused_sharded_land_kinematic_raises():
+def test_fused_sharded_land_kinematic_device_invariant_and_conserves():
+    """Manning kinematic-wave routing joins the fused-sharded Lie split
+    (upwinded face fluxes with one-cell halo exchange, elevation streamed
+    as a sharded argument): 8-device == 1-device of the same scheme, face
+    fluxes telescope so pond + soil water closes exactly, and water flows
+    off the terrain hill."""
     from landhydrology_tpu.models.land import KinematicWaveRouting
     from landhydrology_tpu.parallel import make_fused_sharded_run
 
-    land = _land_model(runoff=KinematicWaveRouting())
-    with pytest.raises(ValueError, match="KinematicWaveRouting"):
-        make_fused_sharded_run(
-            land, make_column_mesh(shape=(4, 2)), SSPRK33(), dt=10.0,
-            steps_per_call=4, interpret=True,
+    x = np.arange(NX)[:, None] - (NX - 1) / 2.0
+    y = np.arange(NY)[None, :] - (NY - 1) / 2.0
+    z_terrain = 0.3 * np.exp(-(x**2 + y**2) / 6.0)
+    land = _land_model(
+        runoff=KinematicWaveRouting(
+            elevation=jnp.asarray(z_terrain), manning_n=0.05, dx=1.0
         )
+    )
+    # MOST-free top face: the budget below closes against rain alone
+    land = dataclasses.replace(
+        land,
+        soil=dataclasses.replace(
+            land.soil,
+            boundary_conditions=SoilColumnBC(
+                top=SoilComponentBC(
+                    hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+                ),
+                bottom=land.soil.boundary_conditions.bottom,
+            ),
+        ),
+    )
+    h_s0 = jnp.full((NX, NY), 5e-3)
+    Y, Ya = _land_states(land, h_s0=h_s0)
+
+    # kinematic CFL at h~5e-3, |s|~0.1: c ~ (5/3) h^(2/3) sqrt(s)/n ~ 0.3
+    # m/s -> window steps_per_call*dt = 2 s stays well under dx/c ~ 3 s
+    kw = dict(stepper=SSPRK33(), dt=0.5, steps_per_call=4, n_calls=5,
+              interpret=True)
+    run1 = make_fused_sharded_run(
+        land, make_column_mesh(shape=(1, 1), devices=jax.devices()[:1]), **kw
+    )
+    Y1, _ = run1(Y, Ya, jnp.asarray(0.0))
+
+    mesh = make_column_mesh(shape=(4, 2))
+    Ys, Yas = shard_state(Y, mesh), shard_state(Ya, mesh)
+    runN = make_fused_sharded_run(land, mesh, **kw)
+    YN, _ = runN(Ys, Yas, jnp.asarray(0.0))
+
+    np.testing.assert_allclose(
+        np.asarray(YN["surface"]["h_s"]), np.asarray(Y1["surface"]["h_s"]),
+        rtol=1e-12, atol=1e-18,
+    )
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(YN["soil"][k]), np.asarray(Y1["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
+    hf = np.asarray(YN["surface"]["h_s"])
+    assert np.all(np.isfinite(hf)) and np.all(hf >= -1e-15)
+    # water left the hilltop for the periodic far field
+    assert hf[NX // 2, NY // 2] < 5e-3
+    assert hf[0, 0] > 5e-3
+    # conservation across routing + infiltration + rain: total water change
+    # equals integrated rain minus nothing else (zero-flux bottom, no MOST)
+    from landhydrology_tpu.domains import make_function_space
+
+    grid = make_function_space(land.soil.domain, land.float_dtype)
+    dz = float(grid.dz)
+    tot0 = float(jnp.sum(Y["soil"]["vartheta_l"]) * dz + jnp.sum(h_s0))
+    totf = float(
+        jnp.sum(YN["soil"]["vartheta_l"]) * dz
+        + jnp.sum(YN["surface"]["h_s"])
+    )
+    t_end = 0.5 * 4 * 5
+    rain_in = float(land.surface.precipitation(0.0)) * NX * NY * t_end
+    np.testing.assert_allclose(totf - tot0, rain_in, rtol=1e-8, atol=1e-12)
 
 
 def test_fused_sharded_variable_depth_matches_plain_fused():

@@ -188,6 +188,91 @@ def test_forced_land_precipitation_ponds(tmp_path):
         )
 
 
+def test_fused_forced_engine_matches_xla():
+    """engine='fused' streams the forcing rows THROUGH the Pallas kernel:
+    the trajectory equals the per-step XLA forced scan (same
+    piecewise-constant row semantics), including a chunk remainder and a
+    per-column forcing field."""
+    n_steps = 29  # not a multiple of steps_per_call: exercises the tail
+    rng = np.random.default_rng(7)
+    fields = _diurnal_forcing(n_steps, rng)
+    # make one field per-step-scalar to cover the SMEM row path too
+    fields["theta_atm"] = fields["theta_atm"][:, 0].copy()
+
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    forcing = {k: jnp.asarray(v) for k, v in fields.items()}
+
+    seg_x = make_forced_segment_run(
+        model, SSPRK33(), dt=DT, field_names=sorted(fields)
+    )
+    Yx, tx = seg_x(Y, Ya, 0.0, forcing)
+
+    seg_f = make_forced_segment_run(
+        model, SSPRK33(), dt=DT, field_names=sorted(fields),
+        engine="fused", steps_per_call=8, tile_cols=NCOL,
+    )
+    Yf, tf = seg_f(Y, Ya, 0.0, forcing)
+
+    assert float(tf) == pytest.approx(float(tx))
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yx["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
+
+
+def test_fused_forced_land_precipitation_matches_xla():
+    """Per-column precipitation rows stream through the fused kernel for
+    the LandModel (the reanalysis flagship composition): pond + soil match
+    the XLA forced scan."""
+    from landhydrology_tpu.models.land import (
+        LandModel,
+        SurfaceWaterModel,
+        initialize_states as land_init,
+    )
+
+    n_steps = 24
+    rain = np.zeros((n_steps, NCOL))
+    rain[4:12] = 8e-6
+    fields = {
+        "precipitation": rain,
+        **_diurnal_forcing(n_steps, np.random.default_rng(3)),
+    }
+
+    soil = dataclasses.replace(
+        _atmos_soil(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.6, Ksat=2e-7,
+                                         theta_r=0.05)
+        ),
+    )
+    land = LandModel(soil=soil, surface=SurfaceWaterModel(tau_pond=240.0))
+    Y, Ya = land_init(land, _ic, 0.0, h_s0=0.0)
+    forcing = {k: jnp.asarray(v) for k, v in fields.items()}
+
+    seg_x = make_forced_segment_run(
+        land, SSPRK33(), dt=DT, field_names=sorted(fields)
+    )
+    Yx, _ = seg_x(Y, Ya, 0.0, forcing)
+    seg_f = make_forced_segment_run(
+        land, SSPRK33(), dt=DT, field_names=sorted(fields),
+        engine="fused", steps_per_call=8, tile_cols=NCOL,
+    )
+    Yf, _ = seg_f(Y, Ya, 0.0, forcing)
+
+    assert float(jnp.max(Yx["surface"]["h_s"])) > 1e-5  # the pulse ponded
+    np.testing.assert_allclose(
+        np.asarray(Yf["surface"]["h_s"]), np.asarray(Yx["surface"]["h_s"]),
+        rtol=1e-12, atol=1e-18,
+    )
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yx["soil"][k]),
+            rtol=1e-12, atol=1e-18, err_msg=k,
+        )
+
+
 def test_forcing_field_routing_validation():
     model = _atmos_soil()
     with pytest.raises(KeyError, match="route nowhere"):
