@@ -62,6 +62,7 @@ def run_adaptive(
     dt0,
     stepper: AbstractTimestepper = SSPRK33(),
     config: AdaptiveConfig = AdaptiveConfig(),
+    model=None,
 ):
     """Integrate ``rhs`` from ``t0`` to ``tf`` with step-doubling error
     control.  Returns ``(Y_final, stats)`` with ``stats = {'n_accepted',
@@ -70,7 +71,27 @@ def run_adaptive(
     ``config.max_steps`` iterations even if the error estimate is NaN
     (persistent rejection) or dt underflows the time's ulp; check
     ``stats['converged']`` (t reached tf) on return.
+
+    Pass ``model`` to apply the model's stepper policies — the equilibrium
+    freeze-thaw projection and ``LandModel(surface_update="step")``'s
+    frozen exchange — exactly as every other engine does; with ``rhs``
+    alone the caller is responsible for pre-wrapping ``stepper`` (a bare
+    rhs cannot reveal those policies).
     """
+    if model is not None:
+        from landhydrology_tpu.parallel.stepping import _wrap_freeze_thaw
+
+        stepper = _wrap_freeze_thaw(stepper, model)
+        if hasattr(model, "soil") and hasattr(model, "surface"):
+            from landhydrology_tpu.models.land import wrap_stepper_for_land
+
+            stepper = wrap_stepper_for_land(stepper, model)
+        else:
+            from landhydrology_tpu.models.soil.lagged import (
+                wrap_stepper_for_soil,
+            )
+
+            stepper = wrap_stepper_for_soil(stepper, model)
     dtype = jnp.result_type(jnp.asarray(t0), jnp.asarray(dt0))
     t0 = jnp.asarray(t0, dtype=dtype)
     tf = jnp.asarray(tf, dtype=dtype)
@@ -122,6 +143,139 @@ def run_adaptive(
             lambda a, b: jnp.where(accept, a, b), Y2, Y
         )
         t_next = jnp.where(accept, t + dt, t)
+        err_next = jnp.where(
+            accept, jnp.where(jnp.isfinite(err), err, 1.0), err_prev
+        )
+        return (
+            Y_next,
+            t_next,
+            dt_new,
+            err_next,
+            n_acc + accept.astype(jnp.int32),
+            n_rej + (~accept).astype(jnp.int32),
+            iters + 1,
+        )
+
+    state0 = (
+        Y,
+        t0,
+        dt0,
+        jnp.asarray(1.0, dtype=dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    Yf, t_end, dt_f, _, n_acc, n_rej, _ = jax.lax.while_loop(cond, body, state0)
+    return Yf, {
+        "n_accepted": n_acc,
+        "n_rejected": n_rej,
+        "dt_final": dt_f,
+        "converged": t_end >= tf - 1e-12 * jnp.maximum(jnp.abs(tf), 1.0),
+    }
+
+
+def run_adaptive_fused(
+    model,
+    Y: dict,
+    Ya: dict,
+    t0,
+    tf,
+    dt0,
+    stepper: AbstractTimestepper = SSPRK33(),
+    config: AdaptiveConfig = AdaptiveConfig(),
+    steps_per_call: int = 8,
+    tile_cols: int = 512,
+    interpret=None,
+):
+    """Error-controlled integration over FUSED segments: step-doubling at
+    ``steps_per_call`` granularity through the VMEM-resident Pallas kernel
+    (``dt`` rides as a traced SMEM scalar, so one compiled kernel serves
+    every trial step size).
+
+    Each controller iteration advances one macro-step ``H = steps_per_call
+    * dt``: the kernel runs once at ``dt`` and twice at ``dt/2`` (the
+    step-doubled comparison solution), the segment-end states drive the
+    same weighted error norm and PI controller as :func:`run_adaptive`,
+    and the doubled solution is kept on acceptance.  With
+    ``steps_per_call=1`` this reduces EXACTLY to :func:`run_adaptive` on
+    the fused kernel (equivalence-tested); larger segments amortize the
+    control overhead across the fused multi-step sweep — error-controlled
+    production runs no longer give up the kernel.
+
+    The controller samples the error only at segment ends, so transients
+    shorter than a segment are seen with one-segment delay; use a smaller
+    ``steps_per_call`` for sharply intermittent forcing.
+
+    ``model`` (not a bare rhs) is required: the kernel is built from it,
+    and the model's step-level policies (freeze-thaw projection, frozen
+    exchange, lagged coefficients) apply inside the kernel exactly as on
+    every other engine.  Returns ``(Y_final, stats)`` like
+    :func:`run_adaptive`, where ``n_accepted``/``n_rejected`` count
+    macro-steps (segments).
+    """
+    import jax as _jax
+
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    dtype = model.float_dtype
+    t0 = jnp.asarray(t0, dtype=dtype)
+    tf = jnp.asarray(tf, dtype=dtype)
+    dt0 = jnp.asarray(dt0, dtype=dtype)
+    spc = int(steps_per_call)
+
+    fused = make_fused_column_run(
+        model,
+        stepper,
+        dt=float(dt0),
+        steps_per_call=spc,
+        tile_cols=tile_cols,
+        interpret=interpret,
+    )
+
+    p1 = float(getattr(stepper, "order", 3)) + 1.0
+    k_p = config.k_p if config.k_p is not None else 0.7 / p1
+    k_i = config.k_i if config.k_i is not None else 0.4 / p1
+    config = dataclasses.replace(config, k_p=k_p, k_i=k_i)
+
+    def err_norm(Y1, Y2, Yref):
+        def leaf(a, b, r):
+            scale = config.atol + config.rtol * jnp.maximum(
+                jnp.abs(r), jnp.abs(b)
+            )
+            return jnp.max(jnp.abs(a - b) / scale)
+
+        leaves = jax.tree_util.tree_map(leaf, Y1, Y2, Yref)
+        return jax.tree_util.tree_reduce(jnp.maximum, leaves)
+
+    def cond(state):
+        Y, t, dt, err_prev, n_acc, n_rej, iters = state
+        not_done = t < tf - 1e-12 * jnp.maximum(jnp.abs(tf), 1.0)
+        return jnp.logical_and(not_done, iters < config.max_steps)
+
+    def body(state):
+        Y, t, dt, err_prev, n_acc, n_rej, iters = state
+        # land the final macro-step exactly on tf
+        dt = jnp.minimum(dt, (tf - t) / spc)
+
+        Y1 = fused(Y, t, dt_run=dt)  # one segment at dt
+        Yh = fused(Y, t, dt_run=0.5 * dt)  # two at dt/2
+        Y2 = fused(Yh, t + 0.5 * spc * dt, dt_run=0.5 * dt)
+
+        err = jnp.maximum(err_norm(Y1, Y2, Y), 1e-12)
+        at_floor = dt <= config.dt_min * (1.0 + 1e-9)
+        accept = jnp.logical_or(err <= 1.0, at_floor)
+
+        factor = config.safety * err ** (-config.k_p) * err_prev ** (config.k_i)
+        factor = jnp.where(jnp.isfinite(factor), factor, config.max_shrink)
+        factor = jnp.clip(factor, config.max_shrink, config.max_growth)
+        dt_new = jnp.clip(dt * factor, config.dt_min, config.dt_max)
+
+        Y_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), Y2, Y
+        )
+        t_next = jnp.where(accept, t + spc * dt, t)
         err_next = jnp.where(
             accept, jnp.where(jnp.isfinite(err), err, 1.0), err_prev
         )

@@ -255,7 +255,8 @@ def _run_adaptive_cfg(model, stepper, Y, Ya, sim_kwargs, cfg, adaptive_cfg) -> i
         **{k: v for k, v in adaptive_cfg.items() if not isinstance(v, dict)}
     )
     Yf, stats = run_adaptive(
-        rhs, Y, Ya, t0, tf, sim_kwargs["dt"], stepper=stepper, config=acfg
+        rhs, Y, Ya, t0, tf, sim_kwargs["dt"], stepper=stepper, config=acfg,
+        model=model,
     )
     if not bool(stats["converged"]):
         raise RuntimeError(

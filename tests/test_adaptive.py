@@ -125,6 +125,97 @@ def test_adaptive_handles_stiffness_without_blowup():
     assert float(stats["dt_final"]) < 1.0  # controller found the stiff scale
 
 
+def _batched_infiltration(ncol=8, nz=40):
+    hm = vanGenuchten(n=3.96, alpha=2.7, Ksat=34.0 / 3600.0 / 100.0,
+                      theta_r=0.075)
+    return SoilModel(
+        domain=Column(zlim=(-1.5, 0.0), nelements=nz, batch_shape=(ncol,)),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(hydraulic_model=hm),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=Dirichlet(lambda t: 0.267)),
+            bottom=SoilComponentBC(hydrology=FreeDrainage()),
+        ),
+        soil_param_set=SoilParams(nu=0.287, S_s=1e-3),
+    )
+
+
+def _batched_ic(model):
+    nz = model.domain.nelements
+    ncol = model.domain.batch_shape[0]
+    return initialize_states(
+        model,
+        lambda z, m: {
+            "vartheta_l": jnp.full((nz, ncol), 0.1)
+            + 0.02 * jnp.linspace(0.0, 1.0, ncol)[None, :],
+            "theta_i": jnp.zeros((nz, ncol)),
+        },
+        0.0,
+    )
+
+
+def test_adaptive_fused_spc1_reduces_to_run_adaptive():
+    """With steps_per_call=1 the fused macro-step IS one step-doubled step:
+    run_adaptive_fused must reproduce run_adaptive's trajectory AND its
+    controller decisions (accept counts) on the same problem — pins the
+    wiring of the traced-dt kernel + segment controller."""
+    from landhydrology_tpu.adaptive import run_adaptive_fused
+
+    model = _batched_infiltration()
+    Y, Ya = _batched_ic(model)
+    rhs = make_rhs(model)
+    cfg = AdaptiveConfig(rtol=1e-5, atol=1e-8)
+    tf = 30.0
+
+    Yx, sx = jax.jit(
+        lambda Y: run_adaptive(rhs, Y, Ya, 0.0, tf, dt0=0.05,
+                               stepper=SSPRK33(), config=cfg)
+    )(Y)
+    Yf, sf = run_adaptive_fused(
+        model, Y, Ya, 0.0, tf, dt0=0.05, stepper=SSPRK33(), config=cfg,
+        steps_per_call=1, tile_cols=8, interpret=True,
+    )
+    assert bool(sf["converged"]) and bool(sx["converged"])
+    assert int(sf["n_accepted"]) == int(sx["n_accepted"])
+    assert int(sf["n_rejected"]) == int(sx["n_rejected"])
+    np.testing.assert_allclose(
+        np.asarray(Yf["soil"]["vartheta_l"]),
+        np.asarray(Yx["soil"]["vartheta_l"]), rtol=1e-10, atol=1e-14,
+    )
+
+
+def test_adaptive_fused_segments_match_fine_reference():
+    """Segment-granular error control (steps_per_call=6) through the fused
+    kernel: matches a fine fixed-dt reference, converges, and grows dt —
+    error-controlled runs keep the kernel (VERDICT r3 item 5)."""
+    from landhydrology_tpu.adaptive import run_adaptive_fused
+
+    model = _batched_infiltration()
+    Y, Ya = _batched_ic(model)
+    rhs = make_rhs(model)
+    stepper = SSPRK33()
+    tf = 60.0
+
+    Yr, t = Y, jnp.asarray(0.0)
+    for _ in range(int(tf / 0.05)):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(0.05))
+        t = t + 0.05
+
+    Yf, stats = run_adaptive_fused(
+        model, Y, Ya, 0.0, tf, dt0=0.02, stepper=stepper,
+        config=AdaptiveConfig(rtol=1e-6, atol=1e-9),
+        steps_per_call=6, tile_cols=8, interpret=True,
+    )
+    assert bool(stats["converged"])
+    v_ref = np.asarray(Yr["soil"]["vartheta_l"])
+    v_ad = np.asarray(Yf["soil"]["vartheta_l"])
+    assert np.all(np.isfinite(v_ad))
+    assert np.max(np.abs(v_ad - v_ref)) < 5e-4
+    assert float(stats["dt_final"]) > 0.02  # controller grew the step
+    # macro-step accounting: far fewer segments than fine-dt steps
+    assert int(stats["n_accepted"]) < tf / 0.05 / 6
+
+
 def test_adaptive_terminates_on_nan_rhs():
     """A NaN-producing rhs must not hang the while_loop: the iteration cap
     and dt-floor force-accept guarantee termination."""
