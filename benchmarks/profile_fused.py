@@ -58,11 +58,18 @@ def count_element_ops(jaxpr) -> dict:
             sum(np.prod(v.aval.shape, dtype=float) for v in eqn.outvars)
         )
 
-    def _all_array_operands(eqn):
-        return all(
-            np.prod(getattr(v, "aval", v).shape, dtype=float) > 1
-            for v in eqn.invars
-            if hasattr(v, "aval")
+    def _is_slow(eqn):
+        """A div is a full multi-pass divide unless its DIVISOR is scalar
+        (x / c strength-reduces to a reciprocal multiply; c / x does NOT —
+        the earlier all-operands-array rule misclassified scalar-numerator
+        divides as cheap).  sqrt/rsqrt of an array are always multi-pass."""
+        name = eqn.primitive.name
+        if name in ("sqrt", "rsqrt"):
+            return True
+        divisor = eqn.invars[-1]
+        return (
+            hasattr(divisor, "aval")
+            and np.prod(divisor.aval.shape, dtype=float) > 1
         )
 
     def visit(jxp, mult):
@@ -83,7 +90,7 @@ def count_element_ops(jaxpr) -> dict:
             totals["by_prim"][name] = totals["by_prim"].get(name, 0.0) + n
             if name in TRANSCENDENTAL:
                 totals["transcendental"] += n
-            elif name in SLOW_VPU and _all_array_operands(eqn):
+            elif name in SLOW_VPU and _is_slow(eqn):
                 totals["slow_vpu"] += n
             elif name in CHEAP or name in SLOW_VPU:
                 totals["cheap"] += n
@@ -212,6 +219,48 @@ def main():
         INNER * points,
     )
 
+    # multi-stream issue ceiling: 4 INDEPENDENT fma chains interleaved —
+    # the single-stream chain above is latency-bound (the fused kernel was
+    # measured ABOVE it, proving the VPU dual-issues); this saturating
+    # variant is the defensible denominator for an achieved-slot fraction
+    # (VERDICT r3 item 6)
+    NSTREAM = 4
+
+    @partial(jax.jit, static_argnums=1)
+    def fma_multi(x, n):
+        def body(xs, c):
+            for _ in range(INNER):
+                xs = tuple(x * c + 1e-12 for x in xs)
+            return xs, None
+
+        cs = 1.0 + jnp.arange(n, dtype=dtype) * 1e-12
+        xs, _ = jax.lax.scan(
+            body, tuple(x + 0.01 * k for k in range(NSTREAM)), cs
+        )
+        return sum(x.sum() for x in xs)
+
+    fma_multi_rate, _, _ = two_point_rate(
+        lambda n: (lambda: fma_multi(x0, n)), base, 4 * base,
+        NSTREAM * INNER * points,
+    )
+
+    @partial(jax.jit, static_argnums=1)
+    def exp_multi(x, n):
+        def body(xs, _):
+            for _ in range(INNER):
+                xs = tuple(jnp.exp(x * 1e-6) * 0.5 for x in xs)
+            return xs, None
+
+        xs, _ = jax.lax.scan(
+            body, tuple(x + 0.01 * k for k in range(NSTREAM)), None, length=n
+        )
+        return sum(x.sum() for x in xs)
+
+    exp_multi_rate, _, _ = two_point_rate(
+        lambda n: (lambda: exp_multi(x0, n)), base // 2, 2 * base,
+        NSTREAM * INNER * points,
+    )
+
     @partial(jax.jit, static_argnums=1)
     def recip_chain(x, n):
         def body(x, c):
@@ -323,6 +372,8 @@ def main():
         "microbench": {
             "exp_per_s": exp_rate,
             "fma_per_s": fma_rate,
+            "fma_multi_stream_per_s": fma_multi_rate,
+            "exp_multi_stream_per_s": exp_multi_rate,
             "recip_per_s": recip_rate,
             "hbm_bytes_per_s": hbm_rate,
         },
@@ -337,10 +388,17 @@ def main():
             "cheap_vpu": achieved_cheap / fma_rate,
             "slow_vpu": achieved_slow / recip_rate,
             "hbm": achieved_hbm / hbm_rate,
-            # issue-slot model: the three elementwise classes share VPU
-            # issue bandwidth; their combined fraction is the occupancy
-            # bound (1.0 = the measured speed of light for this op mix)
+            # issue-slot model vs SINGLE-stream rates: >1 proves the VPU
+            # multi-issues, but is not a ceiling fraction
             "combined_issue": combined,
+            # the defensible occupancy: the same model against the
+            # SATURATING multi-stream rates (1.0 = measured multi-issue
+            # speed of light for this op mix)
+            "achieved_slot_fraction": (
+                achieved_trans / exp_multi_rate
+                + achieved_cheap / fma_multi_rate
+                + achieved_slow / recip_rate
+            ),
         },
         "backend": jax.default_backend(),
     }

@@ -71,7 +71,11 @@ def saturated_thermal_conductivity(
     once-per-sweep values for per-column parameter arrays).
     """
     theta_w = theta_l + theta_i
-    theta_w_safe = jnp.maximum(theta_w, _eps_of(theta_w))
+    # reciprocal-multiply: spelled identically to ice_fraction_of_water's
+    # guard (water.py) so XLA CSEs the two theta_w reciprocals of the
+    # coupled sweep into ONE multi-pass divide (array divides run at ~1/6
+    # mul throughput on the VPU — profile_fused roofline)
+    r_theta_w = 1.0 / jnp.maximum(theta_w, _eps_of(theta_w))
     ln_unf = (
         math.log(kappa_sat_unfrozen)
         if isinstance(kappa_sat_unfrozen, (int, float))
@@ -82,7 +86,7 @@ def saturated_thermal_conductivity(
         if isinstance(kappa_sat_frozen, (int, float))
         else jnp.log(kappa_sat_frozen)
     )
-    kappa = jnp.exp((theta_l * ln_unf + theta_i * ln_fr) / theta_w_safe)
+    kappa = jnp.exp((theta_l * ln_unf + theta_i * ln_fr) * r_theta_w)
     return jnp.where(theta_w < _eps_of(theta_w), 0.0, kappa)
 
 

@@ -162,11 +162,13 @@ def matric_potential(hm: vanGenuchten, S: Array) -> Array:
     eps = _eps_of(S)
     S_safe = jnp.clip(S, eps, 1.0 - eps)
     # S_safe <= 1 - eps  =>  S^(-1/m) - 1 >= eps/m > 0; the tiny-guard only
-    # protects the log from underflow-to-zero rounding.  S^(-1/m) is the
-    # reciprocal of the u = S^(1/m) term of hydraulic_conductivity, spelled
-    # identically so the exp CSEs away when both closures run in one sweep.
-    u = jnp.exp(jnp.log(S_safe) * (1.0 / m))
-    base = (1.0 / u - 1.0) * alpha ** (-n)
+    # protects the log from underflow-to-zero rounding.  S^(-1/m) is taken
+    # as exp of the NEGATED log-domain exponent: on the TPU VPU an exp
+    # (~1.4e12/s) is ~3x cheaper than the array divide 1/u it replaces
+    # (~4.2e11/s) — see benchmarks/profile_fused.py microbench — and
+    # log(S_safe) still CSEs with hydraulic_conductivity's u term.
+    u_inv = jnp.exp(jnp.log(S_safe) * (-1.0 / m))
+    base = (u_inv - 1.0) * alpha ** (-n)
     psi_unsat = -jnp.exp(jnp.log(jnp.maximum(base, _tiny_of(S))) * (1.0 / n))
     return jnp.where(S < 1.0, psi_unsat, 0.0)
 
@@ -252,4 +254,7 @@ def ice_fraction_of_water(theta_l: Array, theta_i: Array) -> Array:
     reference would produce NaN there; it only evaluates this with NoEffect
     impedance in that regime)."""
     theta_w = theta_l + theta_i
-    return theta_i / jnp.maximum(theta_w, _eps_of(theta_w))
+    # reciprocal-multiply, spelled identically to the theta_w guard in
+    # heat.saturated_thermal_conductivity so the coupled sweep's two
+    # theta_w divides CSE into one (see the note there)
+    return theta_i * (1.0 / jnp.maximum(theta_w, _eps_of(theta_w)))

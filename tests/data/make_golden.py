@@ -22,31 +22,75 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from tests.data.golden_config import N_STEPS, build_model_and_state
+from tests.data.golden_config import (
+    FREEZE_STEPS,
+    FORCED_STEPS,
+    LAND_STEPS,
+    N_STEPS,
+    build_forced_model_state_and_rows,
+    build_freeze_model_and_state,
+    build_land_model_and_state,
+    build_model_and_state,
+)
 
 from landhydrology_tpu.models.soil.rhs import make_rhs
 from landhydrology_tpu.domains import make_function_space
 from landhydrology_tpu.timestepping import SSPRK33
 
 
+def _save(name, Y, t):
+    out = os.path.join(os.path.dirname(__file__), name)
+    arrays = {"t": float(t)}
+    for group, fields in Y.items():
+        for k, v in fields.items():
+            key = k if group == "soil" else f"{group}__{k}"
+            arrays[key] = np.asarray(v)
+    np.savez(out, **arrays)
+    print(f"wrote {out}")
+
+
 def main():
+    stepper = SSPRK33()
+
+    # 1. coupled SoilModel (the original golden)
     model, Y, Ya, dt = build_model_and_state(jnp.float64)
     grid = make_function_space(model.domain, jnp.float64)
     rhs = make_rhs(model, grid)
-    stepper = SSPRK33()
     t = jnp.asarray(0.0)
     for _ in range(N_STEPS):
         Y = stepper.step(rhs, Y, Ya, t, jnp.asarray(dt))
         t = t + dt
-    out = os.path.join(os.path.dirname(__file__), "golden_coupled_f64.npz")
-    np.savez(
-        out,
-        vartheta_l=np.asarray(Y["soil"]["vartheta_l"]),
-        theta_i=np.asarray(Y["soil"]["theta_i"]),
-        rho_e_int=np.asarray(Y["soil"]["rho_e_int"]),
-        t=float(t),
+    _save("golden_coupled_f64.npz", Y, t)
+
+    # 2. LandModel flagship (pond + MOST + kinematic routing)
+    land, Yl, Yal, dt_l = build_land_model_and_state(jnp.float64)
+    rhs_l = land.make_rhs()
+    t = jnp.asarray(0.0)
+    for _ in range(LAND_STEPS):
+        Yl = stepper.step(rhs_l, Yl, Yal, t, jnp.asarray(dt_l))
+        t = t + dt_l
+    assert float(jnp.max(Yl["surface"]["h_s"])) > 1e-4  # rain pulse ponded
+    _save("golden_land_f64.npz", Yl, t)
+
+    # 3. freeze-thaw (rate-based phase change under a -10C surface)
+    mf, Yf, Yaf, dt_f = build_freeze_model_and_state(jnp.float64)
+    rhs_f = make_rhs(mf)
+    t = jnp.asarray(0.0)
+    for _ in range(FREEZE_STEPS):
+        Yf = stepper.step(rhs_f, Yf, Yaf, t, jnp.asarray(dt_f))
+        t = t + dt_f
+    assert float(jnp.max(Yf["soil"]["theta_i"])) > 1e-4  # ice actually formed
+    _save("golden_freeze_f64.npz", Yf, t)
+
+    # 4. forced run (time-varying MOST atmosphere from a forcing table)
+    from landhydrology_tpu.runtime import make_forced_segment_run
+
+    mo, Yo, Yao, rows, dt_o = build_forced_model_state_and_rows(jnp.float64)
+    seg = make_forced_segment_run(
+        mo, stepper, dt=dt_o, field_names=sorted(rows)
     )
-    print(f"wrote {out}")
+    Yo, t = seg(Yo, Yao, 0.0, rows)
+    _save("golden_forced_f64.npz", Yo, t)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,118 @@ def test_pallas_matches_golden(golden):
         )
 
 
+GOLDEN_LAND = os.path.join(os.path.dirname(__file__), "data", "golden_land_f64.npz")
+GOLDEN_FREEZE = os.path.join(
+    os.path.dirname(__file__), "data", "golden_freeze_f64.npz"
+)
+GOLDEN_FORCED = os.path.join(
+    os.path.dirname(__file__), "data", "golden_forced_f64.npz"
+)
+
+
+def test_land_flagship_matches_golden():
+    """LandModel pond + MOST + kinematic routing: the XLA path reproduces
+    the frozen f64 trajectory (a kernel/closure rewrite can no longer move
+    the flagship numerics with only co-moving equivalence tests watching)."""
+    from tests.data.golden_config import LAND_STEPS, build_land_model_and_state
+
+    golden = np.load(GOLDEN_LAND)
+    land, Y, Ya, dt = build_land_model_and_state(jnp.float64)
+    rhs = land.make_rhs()
+    stepper = SSPRK33()
+
+    @jax.jit
+    def run(Y, t0):
+        def body(carry, _):
+            Yc, t = carry
+            return (stepper.step(rhs, Yc, Ya, t, jnp.asarray(dt)), t + dt), None
+
+        (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=LAND_STEPS)
+        return Yf
+
+    Yf = run(Y, jnp.asarray(0.0))
+    assert float(jnp.max(Yf["surface"]["h_s"])) > 1e-4  # ponded as frozen
+    for k in ("vartheta_l", "theta_i", "rho_e_int"):
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), golden[k], rtol=1e-13, atol=1e-18,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(Yf["surface"]["h_s"]), golden["surface__h_s"],
+        rtol=1e-13, atol=1e-20,
+    )
+
+
+def test_freeze_thaw_matches_golden_both_engines():
+    """Rate-based freeze-thaw under a -10C surface: XLA scan AND the fused
+    Pallas kernel reproduce the frozen trajectory (ice mass included)."""
+    from tests.data.golden_config import (
+        FREEZE_STEPS,
+        build_freeze_model_and_state,
+    )
+
+    golden = np.load(GOLDEN_FREEZE)
+    model, Y, Ya, dt = build_freeze_model_and_state(jnp.float64)
+    rhs = make_rhs(model)
+    stepper = SSPRK33()
+
+    @jax.jit
+    def run(Y, t0):
+        def body(carry, _):
+            Yc, t = carry
+            return (stepper.step(rhs, Yc, Ya, t, jnp.asarray(dt)), t + dt), None
+
+        (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=FREEZE_STEPS)
+        return Yf
+
+    Yx = run(Y, jnp.asarray(0.0))
+    assert float(jnp.max(Yx["soil"]["theta_i"])) > 1e-4  # ice formed
+    fused = make_fused_column_run(
+        model, SSPRK33(), dt=dt, steps_per_call=FREEZE_STEPS, tile_cols=4,
+        interpret=True,
+    )
+    Yp = fused(Y, 0.0)
+    for k in ("vartheta_l", "theta_i", "rho_e_int"):
+        np.testing.assert_allclose(
+            np.asarray(Yx["soil"][k]), golden[k], rtol=1e-13, atol=1e-18,
+            err_msg=f"xla/{k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]), golden[k], rtol=1e-12, atol=1e-16,
+            err_msg=f"pallas/{k}",
+        )
+
+
+def test_forced_run_matches_golden_both_engines():
+    """Time-varying MOST forcing from a deterministic table: the XLA
+    forced scan AND the fused forcing-stream engine reproduce the frozen
+    trajectory."""
+    from tests.data.golden_config import build_forced_model_state_and_rows
+
+    from landhydrology_tpu.runtime import make_forced_segment_run
+
+    golden = np.load(GOLDEN_FORCED)
+    model, Y, Ya, rows, dt = build_forced_model_state_and_rows(jnp.float64)
+    seg_x = make_forced_segment_run(
+        model, SSPRK33(), dt=dt, field_names=sorted(rows)
+    )
+    Yx, _ = seg_x(Y, Ya, 0.0, rows)
+    seg_f = make_forced_segment_run(
+        model, SSPRK33(), dt=dt, field_names=sorted(rows), engine="fused",
+        steps_per_call=8, tile_cols=16,
+    )
+    Yf, _ = seg_f(Y, Ya, 0.0, rows)
+    for k in ("vartheta_l", "theta_i", "rho_e_int"):
+        np.testing.assert_allclose(
+            np.asarray(Yx["soil"][k]), golden[k], rtol=1e-13, atol=1e-18,
+            err_msg=f"xla/{k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), golden[k], rtol=1e-12, atol=1e-16,
+            err_msg=f"fused/{k}",
+        )
+
+
 def test_f32_matches_golden_loosely(golden):
     Yf = _run_scan(jnp.float32)
     np.testing.assert_allclose(
