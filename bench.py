@@ -116,13 +116,17 @@ def build(nz, ncol, dtype, no_ice=False):
     return model, Y, Ya
 
 
-def build_land(nz, ncol, dtype, surface_update="stage"):
+def build_land(nz, ncol, dtype, surface_update="stage",
+               coefficient_update="stage"):
     """The flagship composition: the bench soil column + MOST atmosphere +
     rain pulse + pond store (rain + ponding + evaporation + energy), for the
     fused-LandModel bench row (VERDICT r2 item 3).
 
-    ``surface_update="step"`` freezes the two MOST multisection solves per
-    step instead of per RK stage (LandModel.surface_update)."""
+    ``surface_update="step"`` freezes the blended MOST multisection solve
+    per step instead of per RK stage (LandModel.surface_update);
+    ``coefficient_update="step"`` additionally lags the soil's nonlinear
+    coefficient sweep (SoilModel.coefficient_update, models/soil/lagged.py)
+    — the two step-level splittings compose (the production configuration)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -144,6 +148,7 @@ def build_land(nz, ncol, dtype, surface_update="stage"):
     soil = dataclasses.replace(
         model,
         assume_no_ice=False,
+        coefficient_update=coefficient_update,
         boundary_conditions=SoilColumnBC(
             top=PrescribedAtmosForcing(
                 u_atm=2.0, theta_atm=297.0, z_atm=2.0, theta_scale=297.0,
@@ -241,6 +246,13 @@ def main():
              "solves in every RK stage (reference semantics), 'step' = "
              "frozen per step (first-order surface split, ~3x fewer MOST "
              "solves)",
+    )
+    p.add_argument(
+        "--land-lagged", action="store_true",
+        help="compose the land path with soil coefficient_update='step' "
+             "(lagged nonlinear coefficients, models/soil/lagged.py) — the "
+             "production configuration when paired with "
+             "--land-surface-update step",
     )
     p.add_argument(
         "--paths", type=str, default="xla,pallas,sharded,land,lagged",
@@ -438,6 +450,7 @@ def main():
         land, Yl, Yal = build_land(
             args.nz, args.ncol, dtype,
             surface_update=args.land_surface_update,
+            coefficient_update="step" if args.land_lagged else "stage",
         )
         fused_land = make_fused_column_run(
             land,
@@ -520,6 +533,9 @@ def main():
                 gps_land / gps_pal if gps_land is not None else None
             ),
             "land_surface_update": args.land_surface_update,
+            "land_coefficient_update": (
+                "step" if args.land_lagged else "stage"
+            ),
             "paths_agree": ok,
             "max_dev": max_dev,
             "max_dev_sharded": max_dev_sh,

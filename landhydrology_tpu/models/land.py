@@ -434,10 +434,27 @@ def _exchange_from_state(
     soil = land.soil
     name = soil.name
     h_s = Y[land.surface.name]["h_s"]
+    # the exchange consumes ONLY the top cell (interior_values /
+    # X[...][top] / the half-cell Dirichlet flux), so diagnose T on a
+    # 1-level top slab instead of the full column: slice-before-elementwise
+    # is bitwise identical per element, but inside the fused Pallas kernel
+    # there is no XLA slice-pushdown pass to do this narrowing for us, and
+    # the full-column diagnosis (heat capacity + energy inversion, with an
+    # array divide) would otherwise run nz-wide per exchange evaluation —
+    # 3x per step in stage mode
+    nz = Y[name]["vartheta_l"].shape[0]
+    Y_top = {k: v[nz - 1 : nz] for k, v in Y[name].items()}
+    Ya_soil = Ya.get(name, {})
+    Ya_top = {
+        name: {
+            k: (v[v.shape[0] - 1 : v.shape[0]] if jnp.ndim(v) and jnp.shape(v)[0] == nz else v)
+            for k, v in Ya_soil.items()
+        }
+    }
     X = {
-        "vartheta_l": Y[name]["vartheta_l"],
-        "theta_i": Y[name]["theta_i"],
-        "T": _diagnose_state_T(soil, Y[name], Ya),
+        "vartheta_l": Y_top["vartheta_l"],
+        "theta_i": Y_top["theta_i"],
+        "T": _diagnose_state_T(soil, Y_top, Ya_top),
     }
     return surface_exchange(land, grid, X, h_s, t)
 
