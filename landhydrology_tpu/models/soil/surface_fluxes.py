@@ -59,14 +59,19 @@ _PRANDTL_0 = 0.74
 #: target is the FLUX resolution, not the Linv bit pattern: the fluxes
 #: depend on Linv only through psi(zeta), so the flux error from a
 #: half-bracket of width d(zeta) is ~ psi' d(zeta)/ln(z/z0) <~ d(zeta).
-#: The zeta bracket is 2*_ZETA_BRACKET = 100 wide, and 100 * 9^-9 = 2.6e-7
-#: ~ f32 eps — i.e. 9 rounds already place every star/flux at f32 machine
-#: precision (validated: the f64 Brent-oracle grid re-run in f32 agrees to
-#: ~1e-6 relative, the f32 representation error of the states themselves).
-#: The count is picked from the operand dtype.
+#: The bracket is sign-restricted to the root's half (width _ZETA_BRACKET
+#: = 50 — the root's sign is analytically sign(c0), see the solve body)
+#: and finished with one regula-falsi polish over the final, single-
+#: Businger-branch bracket, whose error is quadratic in the final width:
+#: after 6 rounds w = 50 * 9^-6 = 9.4e-5 in zeta and the polished error
+#: lands at ~w^2 ~ 1e-8, below f32 eps on every star/flux (validated: the
+#: f64 Brent-oracle grid re-run in f32 agrees to ~1e-6 relative, the f32
+#: representation error of the states themselves).  6 rounds + 2 thin
+#: endpoint evaluations replace the former 9 rounds (50 vs 72 probe
+#: h-evaluations per solve).  The count is picked from the operand dtype.
 _N_SECTIONS = 8
 _N_ROUNDS_F64 = 20
-_N_ROUNDS_F32 = 9
+_N_ROUNDS_F32 = 6
 #: bisection bracket in zeta = z_atm/L units; beyond |zeta|=50 Businger
 #: similarity has no credible solution (critical-stability decoupling) and
 #: the bracketed answer saturates at the edge (a regularization, flagged by
@@ -346,8 +351,19 @@ def surface_conditions(
         M = jnp.maximum(kdu, 1e-6 * denom_m)
         return Linv * denom_s * (M * M) - c0 * (denom_m * denom_m)
 
-    lo = zero - _ZETA_BRACKET / z_atm
-    hi = zero + _ZETA_BRACKET / z_atm
+    # The root's sign is known ANALYTICALLY: at any root of h,
+    # Linv = c0 * denom_m^2 / (denom_s * M^2) with every factor on the
+    # right strictly positive except c0 — so sign(Linv_root) = sign(c0),
+    # and c0 == 0 is the exactly neutral solution Linv = 0.  Restricting
+    # the bracket to the root's half [0, sgn*B] therefore loses no roots,
+    # halves the starting width (one 9x round of resolution for free), and
+    # makes h SINGLE-BRANCHED over the whole bracket (stable-only or
+    # unstable-only Businger form, no kink at zeta = 0 inside it) — the
+    # smoothness the terminal regula-falsi polish below relies on.
+    B = _ZETA_BRACKET / z_atm + zero
+    sgn = jnp.sign(c0)
+    lo = jnp.minimum(sgn, 0.0) * B
+    hi = jnp.maximum(sgn, 0.0) * B
     # only the SIGN of h(lo) matters: every kept subinterval has its left
     # endpoint on the same side of the (first) root as the original lo, so
     # s_lo is loop-invariant and h never needs re-evaluating at an endpoint
@@ -380,7 +396,24 @@ def surface_conditions(
         return (lo_next, hi_next)
 
     lo, hi = jax.lax.fori_loop(0, n_rounds, body, (lo, hi))
-    Linv = 0.5 * (lo + hi)
+    # Terminal regula-falsi polish: one false-position step on the final
+    # bracket.  h is smooth (single Businger branch) over the sign-
+    # restricted bracket, so the polished error is O(w^2 h''/h') for final
+    # width w — this is what lets the f32 round count drop from 9 to
+    # _N_ROUNDS_F32 while keeping every star/flux at f32 machine accuracy
+    # (validated against the f64 scipy-Brent oracle grid,
+    # tests/soil/test_most_oracle.py).  Where the bracket holds no sign
+    # change (critical-stability decoupling: the multisection collapsed
+    # onto an edge) or is degenerate (c0 == 0: the exact neutral root
+    # Linv = 0), fall back to the midpoint — same regularization + large
+    # |f| residual flag as before.
+    h_lo2 = h(lo)
+    h_hi2 = h(hi)
+    den = h_hi2 - h_lo2
+    use_falsi = (h_lo2 * h_hi2 <= 0.0) & (jnp.abs(den) > 0.0)
+    Linv_falsi = (lo * h_hi2 - hi * h_lo2) / jnp.where(use_falsi, den, 1.0)
+    Linv_falsi = jnp.clip(Linv_falsi, lo, hi)
+    Linv = jnp.where(use_falsi, Linv_falsi, 0.5 * (lo + hi))
     delta = 0.5 * (hi - lo)
     denom_m, denom_s = denoms(Linv)
     u_star = kappa * du / denom_m

@@ -45,6 +45,7 @@ def _model():
         soil_param_set=SoilParams(nu=0.45),
         lateral_coupling=LateralSurfaceCoupling(conductance=1e-5, dx=2.0),
         freeze_thaw=FreezeThaw(tau=1800.0),
+        coefficient_update="step",
     )
 
 
