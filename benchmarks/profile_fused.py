@@ -42,15 +42,17 @@ CHEAP = {
 SLOW_VPU = {"div", "sqrt", "rsqrt"}
 
 
-def count_element_ops(jaxpr) -> dict:
+def count_element_ops(jaxpr, while_trip_hint: float = 1.0) -> dict:
     """Element-op counts by class, recursing into sub-jaxprs (scan bodies
-    are multiplied by trip count when static)."""
+    are multiplied by trip count when static; while bodies by
+    ``while_trip_hint`` — see the --land flag)."""
     from jax._src.core import ClosedJaxpr
     import numpy as np
 
     totals = {
         "transcendental": 0.0, "cheap": 0.0, "slow_vpu": 0.0, "other": 0.0,
         "by_prim": {},
+        "_while_trip_hint": float(while_trip_hint),
     }
 
     def size_of(eqn):
@@ -81,6 +83,15 @@ def count_element_ops(jaxpr) -> dict:
             ]
             if name == "scan":
                 visit(eqn.params["jaxpr"].jaxpr, mult * eqn.params["length"])
+                continue
+            if name == "while":
+                # fori_loop lowers to while, whose trip count is not in
+                # the jaxpr; weight the body by the caller-provided hint
+                # (the MOST multisection round count when profiling a
+                # MOST-bearing model — recorded in the output JSON).
+                # the cond jaxpr is O(1) bookkeeping; only the body scales
+                visit(eqn.params["body_jaxpr"].jaxpr,
+                      mult * totals.get("_while_trip_hint", 1.0))
                 continue
             if inner:
                 for cj in inner:
@@ -131,6 +142,14 @@ def main():
     p.add_argument("--steps-per-call", type=int, default=48)
     p.add_argument("--tile-cols", type=int, default=512)
     p.add_argument("--no-ice", action="store_true")
+    p.add_argument("--land", action="store_true",
+                   help="profile the flagship LandModel composition "
+                        "(rain + pond + blended MOST + energy) at stage "
+                        "semantics instead of the plain coupled soil "
+                        "column; the MOST multisection fori_loop lowers "
+                        "to a while_loop whose trip count is not in the "
+                        "jaxpr, so its body is weighted by the f32 round "
+                        "count (recorded in the output)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--trace", type=str, default=None,
                    help="capture a jax.profiler trace of the fused run")
@@ -151,7 +170,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from bench import build
+    from bench import build, build_land
     from landhydrology_tpu.domains import make_function_space
     from landhydrology_tpu.models.soil.rhs import make_rhs
     from landhydrology_tpu.ops.pallas import make_fused_column_run
@@ -159,16 +178,30 @@ def main():
 
     dtype = jnp.float32
     nz, ncol = args.nz, args.ncol
-    model, Y, Ya = build(nz, ncol, dtype, no_ice=args.no_ice)
-    grid = make_function_space(model.domain, dtype)
-    rhs = make_rhs(model, grid)
+    while_trip = 1.0
+    if args.land:
+        from landhydrology_tpu.models.land import make_rhs as make_land_rhs
+        from landhydrology_tpu.models.soil.surface_fluxes import (
+            _N_ROUNDS_F32,
+        )
+
+        model, Y, Ya = build_land(nz, ncol, dtype)
+        grid = make_function_space(model.soil.domain, dtype)
+        rhs = make_land_rhs(model, grid)
+        # the MOST multisection fori_loop lowers to a while_loop; weight
+        # its body by the f32 round count (the only while in this rhs)
+        while_trip = float(_N_ROUNDS_F32)
+    else:
+        model, Y, Ya = build(nz, ncol, dtype, no_ice=args.no_ice)
+        grid = make_function_space(model.domain, dtype)
+        rhs = make_rhs(model, grid)
     points = nz * ncol
 
     # --- 1. op mix of one RHS stage (element-weighted jaxpr counts) ---
     jaxpr = jax.make_jaxpr(lambda Y, Ya, t: rhs(Y, Ya, t))(
         Y, Ya, jnp.asarray(0.0, dtype)
     )
-    ops = count_element_ops(jaxpr)
+    ops = count_element_ops(jaxpr, while_trip_hint=while_trip)
     per_pt = {
         k: ops[k] / points
         for k in ("transcendental", "cheap", "slow_vpu", "other")
@@ -315,8 +348,9 @@ def main():
     def run_sum(Y, t0):
         Yf = run(Y, t0)
         total = 0.0
-        for v in Yf["soil"].values():
-            total = total + v.sum()
+        for comp in Yf.values():
+            for v in comp.values():
+                total = total + v.sum()
         return total
 
     if args.trace:
@@ -336,8 +370,9 @@ def main():
 
         (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=n)
         total = 0.0
-        for v in Yf["soil"].values():
-            total = total + v.sum()
+        for comp in Yf.values():
+            for v in comp.values():
+                total = total + v.sum()
         return total
 
     t0a = jnp.asarray(0.0, dtype)
@@ -361,7 +396,9 @@ def main():
     )
     result = {
         "shape": {"nz": nz, "ncol": ncol, "steps_per_call": args.steps_per_call,
-                  "tile_cols": args.tile_cols, "no_ice": args.no_ice},
+                  "tile_cols": args.tile_cols, "no_ice": args.no_ice,
+                  "land": args.land,
+                  "while_trip_hint": while_trip},
         "grid_points_per_s": pts_per_s,
         "timing": {"protocol": "two-point scalar-checksum differencing",
                    "kernel_t_lo_hi_s": [t_k_lo, t_k_hi]},
