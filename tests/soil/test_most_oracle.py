@@ -257,6 +257,47 @@ def test_neutral_limit_is_log_law():
     assert abs(float(cond["L_mo"])) > 1e10  # neutral: |L| -> inf
 
 
+def test_decoupling_regime_flags_large_residual_with_finite_stars():
+    """Critical-stability decoupling (very low wind under strong surface
+    cooling): the consistency equation has no root with |zeta| <= 50, the
+    independent Brent solve confirms it, and the solver must (a) return
+    finite, clamped scales rather than NaN/inf, (b) flag the state through
+    a LARGE residual (the regula-falsi polish is skipped when the final
+    bracket holds no sign change — this exercises that fallback branch),
+    while ordinary states on the same batch keep machine-level residuals."""
+    # state 1: decoupling (u=0.05 m/s, dtheta=+15 K); state 2: ordinary
+    u = jnp.asarray([0.05, 5.0], dtype=jnp.float64)
+    dth = jnp.asarray([15.0, 2.0], dtype=jnp.float64)
+    assert (
+        solve_most_ref(0.05, 15.0, 0.0, 2.0, 0.01, 0.01, 290.0, 0.01)
+        is None
+    ), "oracle: the first state must actually be in the decoupling regime"
+    cond = sf.surface_conditions(
+        ps,
+        u_atm=u,
+        theta_atm=290.0 + dth,
+        q_atm=jnp.full(2, 0.01, jnp.float64),
+        u_sfc=jnp.zeros(2, jnp.float64),
+        theta_sfc=jnp.full(2, 290.0, jnp.float64),
+        q_sfc=jnp.full(2, 0.01, jnp.float64),
+        z_atm=jnp.full(2, 2.0, jnp.float64),
+        z_0m=jnp.full(2, 0.01, jnp.float64),
+        z_0s=jnp.full(2, 0.01, jnp.float64),
+        theta_scale=jnp.full(2, 290.0, jnp.float64),
+    )
+    us, ts, qs = (np.asarray(x) for x in cond["x_star"])
+    res = np.asarray(cond["residual"])
+    L = np.asarray(cond["L_mo"])
+    assert np.all(np.isfinite(us)) and np.all(np.isfinite(ts))
+    assert np.all(np.isfinite(qs)) and np.all(np.isfinite(L))
+    # decoupled column: flagged; the regularized answer sits at the
+    # stable bracket edge (zeta = z_atm/L = +50)
+    assert res[0] > 1e-3, f"decoupling not flagged: residual={res[0]:.2e}"
+    assert 2.0 * np.abs(1.0 / L[0]) == pytest.approx(50.0, rel=0.05)
+    # ordinary column on the SAME batched solve: converged as usual
+    assert res[1] < 1e-10, f"ordinary state degraded: residual={res[1]:.2e}"
+
+
 # ---------------------------------------------------------------------------
 # Tier 3: the full flux pipeline re-derived inline from the oracle scales
 # ---------------------------------------------------------------------------
