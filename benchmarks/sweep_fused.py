@@ -28,6 +28,10 @@ def main():
     p.add_argument("--tiles", type=str, default="128,256,512,1024,2048")
     p.add_argument("--spcs", type=str, default="16,32,48,96")
     p.add_argument("--no-ice", action="store_true")
+    p.add_argument("--lagged", action="store_true",
+                   help="sweep the coefficient_update='step' kernel "
+                        "(models/soil/lagged.py) instead of stage "
+                        "semantics")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -51,6 +55,10 @@ def main():
 
     dtype = jnp.float32
     model, Y, Ya = build(args.nz, args.ncol, dtype, no_ice=args.no_ice)
+    if args.lagged:
+        import dataclasses
+
+        model = dataclasses.replace(model, coefficient_update="step")
     interpret = jax.default_backend() != "tpu"
     best = None
 
@@ -89,7 +97,7 @@ def main():
                 row = {
                     "nz": args.nz, "ncol": args.ncol, "steps_per_call": spc,
                     "tile_cols": tile, "grid_points_per_s": pts,
-                    "no_ice": args.no_ice,
+                    "no_ice": args.no_ice, "lagged": args.lagged,
                 }
                 if best is None or pts > best["grid_points_per_s"]:
                     best = row

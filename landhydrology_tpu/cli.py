@@ -182,11 +182,36 @@ def load_run(path: str):
     return model, stepper, Y, Ya, sim_kwargs, cfg
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for production CLI runs: repeat
+    invocations of the same config skip the minutes-long TPU compile.
+    Override the location with LANDHYDROLOGY_COMPCACHE (empty disables)."""
+    import os
+
+    cache = os.environ.get(
+        "LANDHYDROLOGY_COMPCACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "landhydrology_tpu",
+            "compcache",
+        ),
+    )
+    if not cache:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax / readonly FS: run without the cache
+
+
 def cmd_run(path: str) -> int:
     import numpy as np
 
     from landhydrology_tpu.simulations import Simulation
 
+    _enable_compilation_cache()
     model, stepper, Y, Ya, sim_kwargs, cfg = load_run(path)
 
     adaptive_cfg = cfg.get("simulation", {}).get("adaptive")
