@@ -262,9 +262,9 @@ class LandModel(AbstractModel):
     #: ``boundary_conditions.jl:595-604``); ``"step"`` = once per time step,
     #: frozen across the stages (a first-order splitting of the surface
     #: coupling, same class as the lateral Lie split — the surface state
-    #: moves O(dt) per step while the two MOST multisection solves dominate
-    #: the per-stage cost, so this trades an O(dt) coupling error far below
-    #: the discretization error for ~3x fewer surface solves).  Enforced by
+    #: moves O(dt) per step while the blended MOST multisection solve
+    #: dominates the per-stage cost, so this trades an O(dt) coupling error
+    #: far below the discretization error for 3x fewer solves).  Enforced by
     #: every engine (XLA scan, fused Pallas, pjit-sharded, fused-sharded)
     #: via :class:`FrozenExchangeStepper`.
     surface_update: str = "stage"
@@ -429,8 +429,8 @@ def _exchange_from_state(
     land: LandModel, grid: ColumnGrid, Y: dict, Ya: dict, t: Array
 ) -> dict:
     """The :func:`surface_exchange` rates evaluated at the state ``(Y, t)``
-    (the expensive part of the land rhs — two MOST multisection solves +
-    the potential-infiltration Dirichlet flux)."""
+    (the expensive part of the land rhs — the blended MOST multisection
+    solve + the potential-infiltration Dirichlet flux)."""
     soil = land.soil
     name = soil.name
     h_s = Y[land.surface.name]["h_s"]

@@ -48,9 +48,10 @@ _PRANDTL_0 = 0.74
 #: - **TPU layout**: the solve runs on (ncol,)-shaped top-face vectors —
 #:   one sublane of each (8, 128) vreg.  Stacking the 8 probe points fills
 #:   the sublane axis, so a round costs about one *full-utilization* sweep
-#:   where a bisection step cost a 1/8-utilization sweep; 11 rounds (f32)
-#:   replace 62 thin iterations (~40x fewer vector issue slots — this was
-#:   the single hottest thing in the fused LandModel/MOST kernel).
+#:   where a bisection step cost a 1/8-utilization sweep; 6 rounds + a
+#:   regula-falsi polish (f32) replace the ~57 thin bisections of
+#:   equivalent resolution (~9x fewer vector issue slots — this was the
+#:   single hottest thing in the fused LandModel/MOST kernel).
 #: - **unconditional convergence** is inherited from bracketing (a damped
 #:   fixed point diverged in low-wind stable states; found by the Brent
 #:   oracle in tests/soil/test_most_oracle.py).

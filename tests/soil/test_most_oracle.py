@@ -196,11 +196,12 @@ def test_most_solver_matches_independent_brent_solve():
 
 
 def test_most_solver_f32_rounds_reach_flux_precision():
-    """The f32 round count (9 rounds of 9x shrink on the |zeta|<=50
-    bracket) is chosen so the half-bracket width ~ 2.6e-7 in zeta, i.e.
-    star/flux resolution at the f32 machine level — verify the f32 solve
-    agrees with the f64 Brent oracle to ~f32 representation accuracy over
-    the full regime grid."""
+    """The f32 solve (6 multisection rounds of 9x shrink on the
+    sign-restricted |zeta| <= 50 bracket + one regula-falsi polish whose
+    error is quadratic in the final 9.4e-5 width) must land every
+    star/flux at the f32 machine level — verify the f32 solve agrees with
+    the f64 Brent oracle to ~f32 representation accuracy over the full
+    regime grid."""
     theta_scale, q_atm = 290.0, 0.01
     grid = _state_grid()
     arr = np.asarray(grid, dtype=np.float64)
