@@ -230,3 +230,130 @@ def test_adaptive_terminates_on_nan_rhs():
     )
     # loop returned (no hang); stats expose the failure mode
     assert int(stats["n_accepted"]) + int(stats["n_rejected"]) <= 500
+
+
+def _tiny_land(surface_update="step"):
+    """Minimal LandModel (rain + pond + MOST + energy) for the adaptive
+    engine-parity tests: run_adaptive(model=...) and run_adaptive_fused
+    must honor the land policy steppers like every other engine."""
+    import jax.numpy as jnp
+
+    from landhydrology_tpu import (
+        PrescribedAtmosForcing,
+        SoilEnergyModel,
+        VerticalFlux,
+    )
+    from landhydrology_tpu.constants import default_earth_param_set as ps
+    from landhydrology_tpu.models.land import (
+        LandModel,
+        PulsePrecipitation,
+        SurfaceWaterModel,
+        initialize_states as land_init,
+    )
+    from landhydrology_tpu.models.soil.heat import (
+        volumetric_heat_capacity,
+        volumetric_internal_energy,
+    )
+
+    nz, ncol = 8, 8
+    soil = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=nz, batch_shape=(ncol,)),
+        energy_model=SoilEnergyModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(n=2.0, alpha=2.0, Ksat=1e-5,
+                                         theta_r=0.05)
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=PrescribedAtmosForcing(
+                u_atm=2.0, theta_atm=297.0, z_atm=2.0, theta_scale=297.0,
+                rho_a_sfc=1.2, q_atm=0.005,
+            ),
+            bottom=SoilComponentBC(
+                hydrology=VerticalFlux(0.0), energy=VerticalFlux(0.0)
+            ),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3),
+    )
+    land = LandModel(
+        soil=soil,
+        surface=SurfaceWaterModel(
+            precipitation=PulsePrecipitation(rate=1e-3, t_start=0.0,
+                                             t_stop=1e9),
+            tau_pond=300.0,
+        ),
+        surface_update=surface_update,
+    )
+
+    def ic(z, m):
+        th = jnp.full_like(z, 0.2)
+        ti = jnp.zeros_like(z)
+        rcs = volumetric_heat_capacity(th, ti, 1.3e6, ps)
+        return {
+            "vartheta_l": th,
+            "theta_i": ti,
+            "rho_e_int": volumetric_internal_energy(
+                ti, rcs, jnp.full_like(z, 290.0), ps
+            ),
+        }
+
+    Y, Ya = land_init(land, ic, 0.0)
+    return land, Y, Ya
+
+
+def test_adaptive_land_model_matches_fixed_fine_dt():
+    """run_adaptive(model=LandModel(surface_update='step')) applies the
+    frozen-exchange policy and lands on the fixed-fine-dt trajectory —
+    the 'enforced by every engine' bar for error control on the flagship
+    composition."""
+    import numpy as np
+
+    from landhydrology_tpu.models.land import make_rhs as make_land_rhs
+    from landhydrology_tpu.simulations import Simulation
+
+    land, Y, Ya = _tiny_land()
+    rhs = make_land_rhs(land)
+    tf = 120.0
+    Yad, stats = run_adaptive(
+        rhs, Y, Ya, 0.0, tf, dt0=1.0,
+        config=AdaptiveConfig(rtol=1e-6, atol=1e-9),
+        model=land,
+    )
+    assert bool(stats["converged"])
+    sim = Simulation(land, SSPRK33(), Y_init=Y, Ya_init=Ya, dt=0.5,
+                     tspan=(0.0, tf))
+    Yref = sim.run().state(-1)
+    for comp in ("soil", "surface"):
+        for k in Yad[comp]:
+            a = np.asarray(Yad[comp][k], dtype=np.float64)
+            b = np.asarray(Yref[comp][k], dtype=np.float64)
+            scale = np.max(np.abs(b)) + 1e-30
+            assert np.max(np.abs(a - b)) / scale < 5e-4, (comp, k)
+
+
+def test_adaptive_fused_land_matches_adaptive_xla():
+    """run_adaptive_fused on the LandModel == run_adaptive on the same
+    model (fused segments of 1 step reduce exactly to the XLA controller;
+    the land policies ride inside the kernel)."""
+    import numpy as np
+
+    from landhydrology_tpu.adaptive import run_adaptive_fused
+    from landhydrology_tpu.models.land import make_rhs as make_land_rhs
+
+    land, Y, Ya = _tiny_land()
+    cfg = AdaptiveConfig(rtol=1e-5, atol=1e-8)
+    tf = 60.0
+    Yx, sx = run_adaptive(
+        make_land_rhs(land), Y, Ya, 0.0, tf, dt0=2.0, config=cfg, model=land
+    )
+    Yf, sf_ = run_adaptive_fused(
+        land, Y, Ya, 0.0, tf, dt0=2.0, config=cfg,
+        steps_per_call=1, tile_cols=8,
+    )
+    assert bool(sx["converged"]) and bool(sf_["converged"])
+    assert int(sx["n_accepted"]) == int(sf_["n_accepted"])
+    for comp in ("soil", "surface"):
+        for k in Yx[comp]:
+            a = np.asarray(Yx[comp][k], dtype=np.float64)
+            b = np.asarray(Yf[comp][k], dtype=np.float64)
+            scale = np.max(np.abs(a)) + 1e-30
+            assert np.max(np.abs(a - b)) / scale < 1e-6, (comp, k)
