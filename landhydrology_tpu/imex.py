@@ -72,18 +72,31 @@ def _backward_euler_delta(
     terms ``-K_face C_i / (dz_half dz)``.
     """
     dz = grid.dz
+    nz = K.shape[0]
     Kf = interp_c2f_interior(K)  # (nz-1, *batch) interior faces
-    zeros = jnp.zeros_like(K[:1])
+    zeros = jnp.zeros_like(K[0:1])
     K_minus = jnp.concatenate([zeros, Kf], axis=0)  # face below cell i
     K_plus = jnp.concatenate([Kf, zeros], axis=0)  # face above cell i
 
     inv_dz2 = 1.0 / (dz * dz)
     diag_A = -(K_minus + K_plus) * C * inv_dz2
-    sub_A = K_minus * jnp.roll(C, 1, axis=0) * inv_dz2
-    sup_A = K_plus * jnp.roll(C, -1, axis=0) * inv_dz2
-    top = K.shape[0] - 1
-    diag_A = diag_A.at[0].add(diag_boost_bot)
-    diag_A = diag_A.at[top].add(diag_boost_top)
+    # neighbor C shifts as static concatenations (no jnp.roll / .at[] —
+    # keeps every op Mosaic-lowerable so the solve runs inside the fused
+    # Pallas kernel); the wrap rows are multiplied by the zero boundary
+    # faces, so any in-range value works there
+    C_down = jnp.concatenate([C[0:1], C[0 : nz - 1]], axis=0)  # C[i-1]
+    C_up = jnp.concatenate([C[1:nz], C[nz - 1 : nz]], axis=0)  # C[i+1]
+    sub_A = K_minus * C_down * inv_dz2
+    sup_A = K_plus * C_up * inv_dz2
+    # Dirichlet boundary-face diagonal boosts on the first/last rows only
+    diag_A = jnp.concatenate(
+        [
+            diag_A[0:1] + diag_boost_bot,
+            diag_A[1 : nz - 1],
+            diag_A[nz - 1 : nz] + diag_boost_top,
+        ],
+        axis=0,
+    )
 
     dl = -dt * sub_A
     d = 1.0 - dt * diag_A
@@ -267,13 +280,14 @@ class BackwardEulerRichards(AbstractTimestepper):
         t_new = t + dt
         v_n = Y[name]["vartheta_l"]
 
-        def iterate(v_m, _):
-            v = _water_newton_sweep(
-                model, grid, rhs, Y, Ya, v_m, v_n, dt, t_new
+        # Python-unrolled Newton iterations (iters is small and static):
+        # no lax.scan, so the stepper lowers through Mosaic and runs inside
+        # the fused Pallas kernel via its _rebind protocol
+        v_new = v_n
+        for _ in range(self.iters):
+            v_new = _water_newton_sweep(
+                model, grid, rhs, Y, Ya, v_new, v_n, dt, t_new
             )
-            return v, None
-
-        v_new, _ = jax.lax.scan(iterate, v_n, None, length=self.iters)
         return v_new
 
 
@@ -315,13 +329,11 @@ class BackwardEulerSoil(AbstractTimestepper):
         e_n = Y[name]["rho_e_int"]
         Ybase = {name: dict(Y[name], vartheta_l=v_new)}
 
-        def iterate(e_m, _):
-            e = _heat_newton_sweep(
-                model, grid, rhs, Ybase, Ya, e_m, e_n, dt, t_new
+        e_new = e_n  # Python-unrolled (Mosaic-lowerable, see water_solve)
+        for _ in range(self.iters):
+            e_new = _heat_newton_sweep(
+                model, grid, rhs, Ybase, Ya, e_new, e_n, dt, t_new
             )
-            return e, None
-
-        e_new, _ = jax.lax.scan(iterate, e_n, None, length=self.iters)
         out = dict(Y[name], vartheta_l=v_new, rho_e_int=e_new)
         if model.freeze_thaw is not None:
             # phase-change source advanced explicitly on the updated state
@@ -436,7 +448,7 @@ class TRBDF2Soil(AbstractTimestepper):
             model.freeze_thaw, EquilibriumFreezeThaw
         )
 
-        def sweep(st, _):
+        def sweep(st):
             if water:
                 v = _water_newton_sweep(
                     model, grid, rhs, {name: st}, Ya,
@@ -458,7 +470,12 @@ class TRBDF2Soil(AbstractTimestepper):
             elif "theta_i" in st:
                 # zero tendency: the stage equation is theta_i = c exactly
                 st = dict(st, theta_i=c["theta_i"])
-            return st, None
+            return st
 
-        st, _ = jax.lax.scan(sweep, dict(init), None, length=self.iters)
+        # Python-unrolled Gauss-Seidel sweeps (iters static/small): keeps
+        # the whole stage solve lax.scan-free -> Mosaic-lowerable inside
+        # the fused Pallas kernel
+        st = dict(init)
+        for _ in range(self.iters):
+            st = sweep(st)
         return st

@@ -378,3 +378,142 @@ def test_fused_kernel_land_model_rejects_routing_and_column_rain():
         precipitation=lambda t: jnp.full((NCOL,), 1e-6)))
     with pytest.raises(ValueError, match="per-column precipitation"):
         make_fused_column_run(land2, SSPRK33(), dt=1.0, interpret=True)
+
+
+# ---- implicit steppers inside the fused kernel (VERDICT r4 item 1) ----
+
+
+def _implicit_reference(model, stepper, Y, Ya, dt, n):
+    rhs = make_rhs(model, make_function_space(model.domain, jnp.float64))
+    Yr, t = Y, jnp.asarray(0.0)
+    for _ in range(n):
+        Yr = stepper.step(rhs, Yr, Ya, t, jnp.asarray(dt))
+        t = t + dt
+    return Yr
+
+
+def test_fused_kernel_backward_euler_matches_scan():
+    """BackwardEulerSoil (Newton + unrolled Thomas tridiagonal) runs inside
+    the fused kernel at dt far beyond the explicit CFL and matches the XLA
+    path exactly (same trace)."""
+    from landhydrology_tpu.imex import BackwardEulerSoil
+
+    model = _model(VerticalFlux(0.0), VerticalFlux(0.0))
+    grid = make_function_space(model.domain, jnp.float64)
+    stepper = BackwardEulerSoil(model=model, grid=grid, iters=2)
+    Y = _state()
+    Ya = {"zc": grid.zc, "soil": {}}
+    dt, n = 600.0, 4
+
+    Yr = _implicit_reference(model, stepper, Y, Ya, dt, n)
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]),
+            np.asarray(Yr["soil"][k]),
+            rtol=1e-12,
+            atol=1e-16,
+            err_msg=k,
+        )
+
+
+def test_fused_kernel_trbdf2_stiff_infiltration_matches_scan():
+    """TR-BDF2 on the stiff sand-infiltration config (Dirichlet top — the
+    boundary-face Jacobian boost path — + FreeDrainage bottom) through the
+    fused kernel: the reference's stiffest regime
+    (``richards_equation.jl:131``, dt=0.25 s explicit) at 20x the explicit
+    CFL, fused == XLA."""
+    import dataclasses
+
+    from landhydrology_tpu import PrescribedTemperatureModel
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    hm = vanGenuchten(
+        n=3.96, alpha=2.7, Ksat=34.0 / 3600.0 / 100.0, theta_r=0.075
+    )
+    base = _model(Dirichlet(lambda t: 0.267), FreeDrainage())
+    model = dataclasses.replace(
+        base,
+        domain=Column(zlim=(-1.5, 0.0), nelements=NZ, batch_shape=(NCOL,)),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=dataclasses.replace(
+            base.hydrology_model, hydraulic_model=hm
+        ),
+        soil_param_set=dataclasses.replace(
+            base.soil_param_set, nu=0.287
+        ),
+    )
+    grid = make_function_space(model.domain, jnp.float64)
+    stepper = TRBDF2Soil(model=model, grid=grid, iters=2)
+    Y = {
+        "soil": {
+            "vartheta_l": jnp.full((NZ, NCOL), 0.1, dtype=jnp.float64),
+            "theta_i": jnp.zeros((NZ, NCOL), dtype=jnp.float64),
+        }
+    }
+    Ya = {"zc": grid.zc, "soil": {}}
+    dt, n = 5.0, 4
+
+    Yr = _implicit_reference(model, stepper, Y, Ya, dt, n)
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    assert np.all(np.isfinite(np.asarray(Yp["soil"]["vartheta_l"])))
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]),
+            np.asarray(Yr["soil"][k]),
+            rtol=1e-12,
+            atol=1e-16,
+            err_msg=k,
+        )
+
+
+def test_fused_kernel_trbdf2_heterogeneous_params():
+    """TR-BDF2 fused with per-column van Genuchten/porosity arrays: the
+    implicit assembly reads the stepper's model, which _rebind must retarget
+    to the tile-local parameter slices."""
+    import dataclasses
+
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    rng = np.random.default_rng(7)
+    base = _model(VerticalFlux(0.0), VerticalFlux(0.0))
+    hm_b = vanGenuchten(
+        n=jnp.asarray(rng.uniform(1.8, 3.0, NCOL)),
+        alpha=jnp.asarray(rng.uniform(1.5, 4.0, NCOL)),
+        Ksat=jnp.asarray(rng.uniform(1e-7, 1e-5, NCOL)),
+        theta_r=jnp.asarray(rng.uniform(0.0, 0.05, NCOL)),
+    )
+    model = dataclasses.replace(
+        base,
+        hydrology_model=dataclasses.replace(
+            base.hydrology_model, hydraulic_model=hm_b
+        ),
+        soil_param_set=dataclasses.replace(
+            base.soil_param_set, nu=jnp.asarray(rng.uniform(0.45, 0.55, NCOL))
+        ),
+    )
+    grid = make_function_space(model.domain, jnp.float64)
+    stepper = TRBDF2Soil(model=model, grid=grid, iters=2)
+    Y = _state()
+    Ya = {"zc": grid.zc, "soil": {}}
+    dt, n = 300.0, 4
+
+    Yr = _implicit_reference(model, stepper, Y, Ya, dt, n)
+    run = make_fused_column_run(
+        model, stepper, dt=dt, steps_per_call=n, tile_cols=128, interpret=True
+    )
+    Yp = run(Y, 0.0)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]),
+            np.asarray(Yr["soil"][k]),
+            rtol=1e-12,
+            atol=1e-16,
+            err_msg=k,
+        )
