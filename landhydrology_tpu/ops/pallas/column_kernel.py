@@ -49,6 +49,7 @@ def make_fused_column_run(
     interpret: bool = False,
     streamed_geometry=None,
     forcing_fields=(),
+    forcing_time_grid=None,
 ):
     """Build ``run(Y, t0) -> Y'`` advancing ``steps_per_call`` steps with the
     state resident in VMEM.
@@ -82,6 +83,17 @@ def make_fused_column_run(
     are tiled ``(steps_per_call, tile_cols)`` VMEM blocks — so time-varying
     file forcing (reanalysis runs) keeps the fused-kernel rate instead of
     falling back to the per-step XLA scan.
+
+    ``forcing_time_grid``: optional ``(t_start, dt_forcing, n_rows)``
+    switching the forcing rows from step-indexed to **time-indexed**: rows
+    then have leading dim ``n_rows`` (the whole table, not one row per
+    in-kernel step) and each in-kernel step reads row
+    ``clip(floor((t - t_start)/dt_forcing), 0, n_rows-1)`` — forcing as a
+    piecewise-constant function of *time*.  This is what lets the adaptive
+    (traced-dt) driver compose with streamed forcing: one compiled kernel
+    serves every trial step size, and a step landing anywhere in the table
+    picks up the right row (``t_start``/``dt_forcing`` ride in SMEM, so
+    successive windows reuse the compiled kernel).
     """
     import numpy as np
 
@@ -154,6 +166,20 @@ def make_fused_column_run(
         atmos_forced, precip_forced = _split_routing(model, forcing_fields)
     else:
         atmos_forced, precip_forced = [], False
+    time_indexed = forcing_time_grid is not None
+    if time_indexed:
+        if not forcing_fields:
+            raise ValueError(
+                "forcing_time_grid requires forcing_fields to stream"
+            )
+        tg_start, tg_dt, tg_rows = forcing_time_grid
+        tg_rows = int(tg_rows)
+        if tg_rows < 1 or float(tg_dt) <= 0.0:
+            raise ValueError(
+                f"forcing_time_grid needs n_rows >= 1 and dt_forcing > 0; "
+                f"got {forcing_time_grid}"
+            )
+    n_frows = tg_rows if time_indexed else steps_per_call
     if (
         is_land
         and not precip_forced
@@ -394,10 +420,23 @@ def make_fused_column_run(
                 t = t0 + i.astype(dtype) * dt_k
                 if forced:
                     # this step's forcing row: scalars from SMEM, per-column
-                    # rows via a dynamic sublane slice of the VMEM block
-                    rows = {k: r[i] for k, r in zip(scal_names, fscal_refs)}
+                    # rows via a dynamic sublane slice of the VMEM block.
+                    # Step-indexed rows use the in-kernel step counter;
+                    # time-indexed rows map the (traced) step time onto the
+                    # forcing grid (the adaptive-forced path)
+                    if time_indexed:
+                        tg0 = t0_ref[2]
+                        inv_dtF = t0_ref[3]  # 1/dt_forcing (SMEM scalar)
+                        j = jnp.clip(
+                            ((t - tg0) * inv_dtF).astype(jnp.int32),
+                            0,
+                            n_frows - 1,
+                        )
+                    else:
+                        j = i
+                    rows = {k: r[j] for k, r in zip(scal_names, fscal_refs)}
                     for k, r in zip(col_names, fcol_refs):
-                        rows[k] = r[pl.dslice(i, 1), :][0]
+                        rows[k] = r[pl.dslice(j, 1), :][0]
                     soil_i = soil_tile
                     if atmos_forced:
                         bc_t = soil_tile.boundary_conditions
@@ -450,12 +489,18 @@ def make_fused_column_run(
             raise ValueError(f"ncol={ncol} not a multiple of tile_cols={tile_cols}")
         n_tiles = ncol // tile_cols
         dt_in = dt_c if dt_run is None else dt_run
-        t0 = jnp.stack(
-            [
-                jnp.asarray(t0, dtype=dtype),
-                jnp.asarray(dt_in, dtype=dtype),
+        t0_leaves = [
+            jnp.asarray(t0, dtype=dtype),
+            jnp.asarray(dt_in, dtype=dtype),
+        ]
+        if time_indexed:
+            # forcing-grid origin + reciprocal spacing ride in SMEM next to
+            # (t0, dt): the in-kernel row lookup is one fma + int cast
+            t0_leaves += [
+                jnp.asarray(tg_start, dtype=dtype),
+                jnp.asarray(1.0 / tg_dt, dtype=dtype),
             ]
-        )
+        t0 = jnp.stack(t0_leaves)
 
         # route the forcing rows: per-step scalars -> SMEM, per-column
         # fields -> column-tiled VMEM blocks (layout keys the kernel build)
@@ -480,16 +525,16 @@ def make_fused_column_run(
                 )
             for k in forcing_fields:
                 v = jnp.asarray(forcing[k], dtype=dtype)
-                if v.shape == (steps_per_call,):
+                if v.shape == (n_frows,):
                     scal_names.append(k)
                     fscal_inputs.append(v)
-                elif v.shape == (steps_per_call, ncol):
+                elif v.shape == (n_frows, ncol):
                     col_names.append(k)
                     fcol_inputs.append(v)
                 else:
                     raise ValueError(
                         f"forcing field {k!r} has shape {v.shape}; expected "
-                        f"({steps_per_call},) or ({steps_per_call}, {ncol})"
+                        f"({n_frows},) or ({n_frows}, {ncol})"
                     )
         kernel = _make_kernel(tuple(scal_names), tuple(col_names))
         fscal_specs = [
@@ -497,7 +542,7 @@ def make_fused_column_run(
         ]
         fcol_specs = [
             pl.BlockSpec(
-                (steps_per_call, tile_cols),
+                (n_frows, tile_cols),
                 lambda i: (0, i),
                 memory_space=pltpu.VMEM,
             )

@@ -74,6 +74,95 @@ def _split_routing(model, field_names):
     return atmos, has_precip
 
 
+def _install_forcing_rows(model, rows: Dict[str, Array], atmos_keys, has_precip):
+    """Model with one forcing row's values installed (trace-time closure
+    construction; traced row values land in BC dataclass fields / the rain
+    closure).  Shared by the per-step scan engine and the time-indexed
+    adaptive stepper."""
+    is_land = hasattr(model, "soil") and hasattr(model, "surface")
+    soil = model.soil if is_land else model
+    bc = soil.boundary_conditions
+    out = model
+    if atmos_keys:
+        top = dataclasses.replace(bc.top, **{k: rows[k] for k in atmos_keys})
+        soil_t = dataclasses.replace(
+            soil, boundary_conditions=SoilColumnBC(top=top, bottom=bc.bottom)
+        )
+        out = dataclasses.replace(model, soil=soil_t) if is_land else soil_t
+    if has_precip:
+        P = rows["precipitation"]
+        out = dataclasses.replace(
+            out,
+            surface=dataclasses.replace(out.surface, precipitation=lambda t: P),
+        )
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeForcedStepper(AbstractTimestepper):
+    """Stepper wrapper applying TIME-indexed forcing rows: each ``step``
+    looks up the row whose interval contains the step-START time
+    (``clip(floor((t - t_start)/dt_forcing), 0, n_rows-1)``), installs it
+    into the model, and delegates to ``inner`` with the row-local rhs —
+    forcing constant over the step, exactly the fused kernel's
+    ``forcing_time_grid`` semantics, but step sizes need not align with
+    the forcing grid.  This is the XLA engine of the adaptive x forcing
+    composition (:func:`~landhydrology_tpu.adaptive.run_adaptive_forced`);
+    the model's step-level policies (lagged coefficients / frozen surface
+    exchange) are applied around the row-local model per step, as on every
+    other engine."""
+
+    inner: AbstractTimestepper
+    model: Any
+    grid: Any
+    tables: Dict[str, Array]
+    t_start: float
+    dt_forcing: float
+
+    @property
+    def order(self):  # the adaptive controller reads these through us
+        return self.inner.order
+
+    @property
+    def stages(self):
+        return self.inner.stages
+
+    @property
+    def unconditionally_stable(self):
+        return self.inner.unconditionally_stable
+
+    def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
+        import jax.numpy as jnp
+
+        model = self.model
+        atmos_keys, has_precip = _split_routing(model, tuple(self.tables))
+        n_rows = next(iter(self.tables.values())).shape[0]
+        j = jnp.clip(
+            ((t - self.t_start) / self.dt_forcing).astype(jnp.int32),
+            0,
+            n_rows - 1,
+        )
+        rows = {k: jnp.take(v, j, axis=0) for k, v in self.tables.items()}
+        m = _install_forcing_rows(model, rows, atmos_keys, has_precip)
+        is_land = hasattr(m, "soil") and hasattr(m, "surface")
+        if is_land:
+            from landhydrology_tpu.models.land import (
+                make_rhs as make_land_rhs,
+                wrap_stepper_for_land,
+            )
+
+            rhs_j = make_land_rhs(m, self.grid)
+            st = wrap_stepper_for_land(self.inner, m, self.grid)
+        else:
+            rhs_j = m.make_rhs(self.grid)
+            from landhydrology_tpu.models.soil.lagged import (
+                wrap_stepper_for_soil,
+            )
+
+            st = wrap_stepper_for_soil(self.inner, m, self.grid)
+        return st.step(rhs_j, Y, Ya, t, dt)
+
+
 def make_forced_segment_run(
     model,
     stepper: AbstractTimestepper = SSPRK33(),

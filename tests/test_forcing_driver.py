@@ -323,3 +323,153 @@ def test_forced_run_under_pjit_sharding(tmp_path):
             np.asarray(YN["soil"][k]), np.asarray(Y1["soil"][k]),
             rtol=1e-12, atol=1e-18, err_msg=k,
         )
+
+
+# ---- adaptive error control x streamed forcing (VERDICT r4 item 4) ----
+
+
+def _pulse_tables(n_rows, rng):
+    """Scalar wind + per-column humidity + a mid-run warm pulse: forcing
+    that genuinely changes the trajectory, on a coarse time grid."""
+    u = 2.0 + 1.5 * rng.random(n_rows)
+    th = 296.0 + np.zeros(n_rows)
+    th[n_rows // 3 : n_rows // 2] = 305.0  # pulse
+    q = 0.004 + 0.002 * rng.random((n_rows, NCOL))
+    return {
+        "u_atm": u.astype(np.float64),
+        "theta_atm": th.astype(np.float64),
+        "q_atm": q.astype(np.float64),
+    }
+
+
+def test_adaptive_forced_xla_matches_fine_fixed_dt():
+    """run_adaptive_forced (XLA engine) under a piecewise-constant-in-time
+    forcing table == a fine fixed-dt forced scan with the rows repeated to
+    the fine grid (identical forcing semantics), to controller tolerance."""
+    from landhydrology_tpu.adaptive import AdaptiveConfig, run_adaptive_forced
+
+    n_rows, dtF = 12, 240.0
+    rng = np.random.default_rng(5)
+    tables = _pulse_tables(n_rows, rng)
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    tf = n_rows * dtF
+
+    # fine fixed-dt reference: dt = dtF/8, every row repeated 8x — exactly
+    # the same forcing-as-a-function-of-time
+    m = 8
+    fine = {k: np.repeat(v, m, axis=0) for k, v in tables.items()}
+    seg = make_forced_segment_run(
+        model, SSPRK33(), dt=dtF / m, field_names=sorted(fine)
+    )
+    Yref, tref = seg(Y, Ya, 0.0, {k: jnp.asarray(v) for k, v in fine.items()})
+    assert float(tref) == pytest.approx(tf)
+
+    # dt_max = dtF/4: a step samples its row at step START, so each row
+    # boundary crossed mid-step contributes O(dt) forcing-sampling error
+    # outside the controller's estimate — bounding dt under the row
+    # spacing bounds that sampling error alongside the controlled one
+    Yf, stats = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=60.0,
+        forcing=tables, forcing_dt=dtF,
+        config=AdaptiveConfig(rtol=1e-7, atol=1e-12, dt_max=dtF / 4),
+    )
+    assert bool(stats["converged"])
+    for k in Y["soil"]:
+        a, b = np.asarray(Yf["soil"][k]), np.asarray(Yref["soil"][k])
+        scale = np.max(np.abs(b)) or 1.0
+        assert np.max(np.abs(a - b)) / scale < 5e-5, k
+
+    # the pulse mattered: a run with the pulse flattened ends elsewhere
+    flat = dict(tables, theta_atm=np.full(n_rows, 296.0))
+    Yflat, _ = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=60.0, forcing=flat, forcing_dt=dtF,
+        config=AdaptiveConfig(rtol=1e-7, atol=1e-12, dt_max=dtF),
+    )
+    assert (
+        float(
+            jnp.max(jnp.abs(Yflat["soil"]["rho_e_int"] - Yf["soil"]["rho_e_int"]))
+        )
+        > 0.0
+    )
+
+
+def test_adaptive_forced_fused_matches_xla_engine():
+    """engine='fused' (time-indexed rows through the Pallas kernel, macro
+    segments of 1 step) takes the same controller decisions and produces
+    the same trajectory as the XLA engine."""
+    from landhydrology_tpu.adaptive import AdaptiveConfig, run_adaptive_forced
+
+    n_rows, dtF = 8, 240.0
+    tables = _pulse_tables(n_rows, np.random.default_rng(9))
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    tf = n_rows * dtF
+    cfg = AdaptiveConfig(rtol=1e-5, atol=1e-10, dt_max=dtF)
+
+    Yx, sx = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=60.0, forcing=tables, forcing_dt=dtF,
+        config=cfg, engine="xla",
+    )
+    Yf, sf = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=60.0, forcing=tables, forcing_dt=dtF,
+        config=cfg, engine="fused", steps_per_call=1, tile_cols=NCOL,
+    )
+    assert bool(sx["converged"]) and bool(sf["converged"])
+    assert int(sf["n_accepted"]) == int(sx["n_accepted"])
+    assert int(sf["n_rejected"]) == int(sx["n_rejected"])
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yx["soil"][k]),
+            rtol=1e-10, atol=1e-14, err_msg=k,
+        )
+
+
+def test_adaptive_forced_fused_segments_accuracy():
+    """Macro-segment fused adaptive (steps_per_call=4) still lands within
+    tolerance of the fine fixed-dt forced reference."""
+    from landhydrology_tpu.adaptive import AdaptiveConfig, run_adaptive_forced
+
+    n_rows, dtF = 8, 240.0
+    tables = _pulse_tables(n_rows, np.random.default_rng(11))
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    tf = n_rows * dtF
+
+    m = 8
+    fine = {k: np.repeat(v, m, axis=0) for k, v in tables.items()}
+    seg = make_forced_segment_run(
+        model, SSPRK33(), dt=dtF / m, field_names=sorted(fine)
+    )
+    Yref, _ = seg(Y, Ya, 0.0, {k: jnp.asarray(v) for k, v in fine.items()})
+
+    Yf, stats = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=30.0,
+        forcing=tables, forcing_dt=dtF,
+        config=AdaptiveConfig(rtol=1e-7, atol=1e-12, dt_max=dtF / 4),
+        engine="fused", steps_per_call=4, tile_cols=NCOL,
+    )
+    assert bool(stats["converged"])
+    for k in Y["soil"]:
+        a, b = np.asarray(Yf["soil"][k]), np.asarray(Yref["soil"][k])
+        scale = np.max(np.abs(b)) or 1.0
+        assert np.max(np.abs(a - b)) / scale < 2e-5, k
+
+
+def test_adaptive_forced_validation():
+    from landhydrology_tpu.adaptive import run_adaptive_fused
+
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    with pytest.raises(ValueError, match="forcing_dt"):
+        run_adaptive_fused(
+            model, Y, Ya, 0.0, 1.0, 0.1,
+            forcing={"u_atm": jnp.ones(4)}, tile_cols=NCOL,
+        )
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+
+    with pytest.raises(ValueError, match="forcing_time_grid"):
+        make_fused_column_run(
+            model, SSPRK33(), dt=1.0, forcing_time_grid=(0.0, 1.0, 4),
+            interpret=True,
+        )
