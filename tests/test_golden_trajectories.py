@@ -196,3 +196,56 @@ def test_f32_matches_golden_loosely(golden):
         - golden["rho_e_int"]
     ) / (np.abs(golden["rho_e_int"]) + 1e3)
     assert np.max(rel) < 5e-4
+
+
+GOLDEN_LAGGED = os.path.join(
+    os.path.dirname(__file__), "data", "golden_lagged_f64.npz"
+)
+
+
+def test_lagged_production_mode_matches_golden_both_engines():
+    """coefficient_update='step' (the production throughput mode) has its
+    OWN frozen trajectory — a first-order-split neighbor of the stage
+    trajectory, not the same numbers — reproduced by the wrapped XLA scan
+    and the fused kernel (which applies the lagged policy in-kernel)."""
+    import dataclasses
+
+    from tests.data.golden_config import build_model_and_state
+    from landhydrology_tpu.models.soil.lagged import wrap_stepper_for_soil
+
+    golden = np.load(GOLDEN_LAGGED)
+    model, Y, Ya, dt = build_model_and_state(jnp.float64)
+    model = dataclasses.replace(model, coefficient_update="step")
+    grid = make_function_space(model.domain, jnp.float64)
+    rhs = make_rhs(model, grid)
+    st = wrap_stepper_for_soil(SSPRK33(), model, grid)
+
+    @jax.jit
+    def run(Y, t0):
+        def body(carry, _):
+            Yc, t = carry
+            return (st.step(rhs, Yc, Ya, t, jnp.asarray(dt)), t + dt), None
+
+        (Yf, _), _ = jax.lax.scan(body, (Y, t0), None, length=N_STEPS)
+        return Yf
+
+    Yx = run(Y, jnp.asarray(0.0))
+    fused = make_fused_column_run(
+        model, SSPRK33(), dt=dt, steps_per_call=N_STEPS, tile_cols=8,
+        interpret=True,
+    )
+    Yp = fused(Y, 0.0)
+    stage = np.load(GOLDEN)  # the stage-mode golden: must NOT be identical
+    assert (
+        float(np.max(np.abs(np.asarray(Yx["soil"]["vartheta_l"])
+                            - stage["vartheta_l"]))) > 0.0
+    )
+    for k in ("vartheta_l", "theta_i", "rho_e_int"):
+        np.testing.assert_allclose(
+            np.asarray(Yx["soil"][k]), golden[k], rtol=1e-13, atol=1e-18,
+            err_msg=f"xla/{k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]), golden[k], rtol=1e-12, atol=1e-16,
+            err_msg=f"pallas/{k}",
+        )
