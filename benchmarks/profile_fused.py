@@ -53,6 +53,12 @@ def count_element_ops(jaxpr, while_trip_hint: float = 1.0) -> dict:
         "transcendental": 0.0, "cheap": 0.0, "slow_vpu": 0.0, "other": 0.0,
         "by_prim": {},
         "_while_trip_hint": float(while_trip_hint),
+        # every while body is weighted by the SINGLE trip hint; when a
+        # profiled rhs contains more than one while (e.g. MOST multisection
+        # + the freeze-thaw relaxation fori_loop) the second one is mis-
+        # weighted — count them so the caller can see the assumption break
+        # (ADVICE r4)
+        "n_while": 0,
     }
 
     def size_of(eqn):
@@ -90,6 +96,7 @@ def count_element_ops(jaxpr, while_trip_hint: float = 1.0) -> dict:
                 # (the MOST multisection round count when profiling a
                 # MOST-bearing model — recorded in the output JSON).
                 # the cond jaxpr is O(1) bookkeeping; only the body scales
+                totals["n_while"] += 1
                 visit(eqn.params["body_jaxpr"].jaxpr,
                       mult * totals.get("_while_trip_hint", 1.0))
                 continue
@@ -109,6 +116,17 @@ def count_element_ops(jaxpr, while_trip_hint: float = 1.0) -> dict:
                 totals["other"] += n
 
     visit(jaxpr.jaxpr, 1.0)
+    if totals["n_while"] > 1:
+        import sys as _sys
+
+        print(
+            f"WARNING: {totals['n_while']} while loops in the profiled "
+            f"jaxpr; every body is weighted by the single "
+            f"while_trip_hint={while_trip_hint} — per-loop trip counts "
+            "differ (e.g. MOST rounds vs freeze-thaw iterations), so the "
+            "class totals are approximate",
+            file=_sys.stderr,
+        )
     return totals
 
 

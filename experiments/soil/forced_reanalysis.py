@@ -56,12 +56,11 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_compcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    # share the CLI's cache policy (honors LANDHYDROLOGY_COMPCACHE and its
+    # location) instead of duplicating it here (ADVICE r4)
+    from landhydrology_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
 
     import jax.numpy as jnp
     import numpy as np

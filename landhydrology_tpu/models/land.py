@@ -443,11 +443,20 @@ def _exchange_from_state(
     # array divide) would otherwise run nz-wide per exchange evaluation —
     # 3x per step in stage mode
     nz = Y[name]["vartheta_l"].shape[0]
+    nd = jnp.ndim(Y[name]["vartheta_l"])
     Y_top = {k: v[nz - 1 : nz] for k, v in Y[name].items()}
     Ya_soil = Ya.get(name, {})
+    # slice only column-shaped leaves: require the PROGNOSTIC rank, not
+    # just a leading dim that happens to equal nz — a batch-leading aux
+    # field (e.g. per-column (ncol,) data with ncol == nz) must pass
+    # through untouched (ADVICE r4)
     Ya_top = {
         name: {
-            k: (v[v.shape[0] - 1 : v.shape[0]] if jnp.ndim(v) and jnp.shape(v)[0] == nz else v)
+            k: (
+                v[v.shape[0] - 1 : v.shape[0]]
+                if jnp.ndim(v) == nd and jnp.shape(v)[0] == nz
+                else v
+            )
             for k, v in Ya_soil.items()
         }
     }
