@@ -357,7 +357,9 @@ def surface_conditions(
     # right strictly positive except c0 — so sign(Linv_root) = sign(c0),
     # and c0 == 0 is the exactly neutral solution Linv = 0.  Restricting
     # the bracket to the root's half [0, sgn*B] therefore loses no roots,
-    # halves the starting width (one 9x round of resolution for free), and
+    # halves the starting width (a factor-2 head start, ~log9(2) = 0.32 of
+    # a 9x round — the accuracy budget itself rests on the quadratic
+    # regula-falsi polish below, oracle-validated), and
     # makes h SINGLE-BRANCHED over the whole bracket (stable-only or
     # unstable-only Businger form, no kink at zeta = 0 inside it) — the
     # smoothness the terminal regula-falsi polish below relies on.
@@ -396,7 +398,23 @@ def surface_conditions(
         hi_next = lo + jnp.minimum(j + 1.0, k + 1.0) * inv * w
         return (lo_next, hi_next)
 
-    lo, hi = jax.lax.fori_loop(0, n_rounds, body, (lo, hi))
+    if n_rounds <= 8:
+        # statically unroll the f32 rounds: a fori_loop lowers to a while,
+        # which is a hard scheduling barrier in Mosaic — the probe
+        # evaluations then cannot overlap the (independent) nz-wide
+        # pointwise soil sweep of the same rhs, and the measured land
+        # kernel ran at combined-issue 1.02 vs the soil kernel's 1.72
+        # (profile_land_r4.json).  Unrolled, the whole step DAG schedules
+        # as one region and the multisection stream interleaves with the
+        # cheap VPU stream.  f64 (20 rounds) keeps the compact loop — it
+        # is the CPU/oracle path where compile size matters more than
+        # issue overlap.
+        carry = (lo, hi)
+        for _i in range(n_rounds):
+            carry = body(_i, carry)
+        lo, hi = carry
+    else:
+        lo, hi = jax.lax.fori_loop(0, n_rounds, body, (lo, hi))
     # Terminal regula-falsi polish: one false-position step on the final
     # bracket.  h is smooth (single Businger branch) over the sign-
     # restricted bracket, so the polished error is O(w^2 h''/h') for final
