@@ -50,6 +50,10 @@ def main():
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--keep-forcing", action="store_true",
                    help="reuse an existing forcing file in workdir")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="serialize the stream pipeline (stage -> compute "
+                        "-> drain per window) — the measurement baseline "
+                        "for the overlap delta, not a production mode")
     args = p.parse_args()
 
     import jax
@@ -174,6 +178,7 @@ def main():
             engine=args.engine,
             steps_per_call=args.steps_per_call,
             tile_cols=args.tile_cols,
+            overlap=not args.no_overlap,
         )
         # force completion before reading the clock (async dispatch)
         h_mean = float(jnp.mean(Yf["surface"]["h_s"]))
@@ -192,6 +197,7 @@ def main():
             "ncol": ncol, "nz": nz, "steps": n_steps, "window": args.window,
             "engine": args.engine,
             "windows_dispatched": len(windows),
+            "overlap": not args.no_overlap,
             "native_reader": native, "prefetch_hits": int(hits),
             "wall_s": wall,
             "pond_mean_m": h_mean,
