@@ -72,7 +72,11 @@ _PRANDTL_0 = 0.74
 #: h-evaluations per solve).  The count is picked from the operand dtype.
 _N_SECTIONS = 8
 _N_ROUNDS_F64 = 20
-_N_ROUNDS_F32 = 6
+#: f32: 4 multisection rounds + a two-step falsi polish (see the polish
+#: block in the solve body) replace the former 6 + 1 — final pre-polish
+#: width 50 * 9^-4 = 7.6e-3 zeta, double-falsi error ~ w^2.6 ~ 3e-6, below
+#: the f32 state representation noise (Brent-oracle-validated)
+_N_ROUNDS_F32 = 4
 #: bisection bracket in zeta = z_atm/L units; beyond |zeta|=50 Businger
 #: similarity has no credible solution (critical-stability decoupling) and
 #: the bracketed answer saturates at the edge (a regularization, flagged by
@@ -428,6 +432,28 @@ def surface_conditions(
     # |f| residual flag as before.
     h_lo2 = h(lo)
     h_hi2 = h(hi)
+    if n_rounds == _N_ROUNDS_F32:
+        # f32 runs 4 multisection rounds + TWO falsi steps instead of the
+        # former 6 + 1: the second false-position iteration is superlinear
+        # (error ~ w^2.6 for final width w = 50 * 9^-4 = 7.6e-3 in zeta ->
+        # ~3e-6, still below the f32 state noise the Brent oracle measures)
+        # and costs ONE extra (1, batch) h evaluation, where the two extra
+        # rounds cost 16 stacked probes + 2 bracket reductions on the
+        # serial chain — 26% fewer probe evaluations per solve, the hot
+        # cost of the land kernel's surface exchange.
+        den1 = h_hi2 - h_lo2
+        ok1 = (h_lo2 * h_hi2 <= 0.0) & (jnp.abs(den1) > 0.0)
+        x1 = (lo * h_hi2 - hi * h_lo2) / jnp.where(ok1, den1, 1.0)
+        x1 = jnp.clip(x1, lo, hi)
+        h1 = h(x1)
+        # keep the sign-change subinterval around x1 (falls back to the
+        # original bracket when ok1 is false — the same degenerate cases)
+        left = h_lo2 * h1 <= 0.0
+        lo_n = jnp.where(ok1 & ~left, x1, lo)
+        hlo_n = jnp.where(ok1 & ~left, h1, h_lo2)
+        hi_n = jnp.where(ok1 & left, x1, hi)
+        hhi_n = jnp.where(ok1 & left, h1, h_hi2)
+        lo, hi, h_lo2, h_hi2 = lo_n, hi_n, hlo_n, hhi_n
     den = h_hi2 - h_lo2
     use_falsi = (h_lo2 * h_hi2 <= 0.0) & (jnp.abs(den) > 0.0)
     Linv_falsi = (lo * h_hi2 - hi * h_lo2) / jnp.where(use_falsi, den, 1.0)
