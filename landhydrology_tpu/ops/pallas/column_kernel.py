@@ -50,6 +50,7 @@ def make_fused_column_run(
     streamed_geometry=None,
     forcing_fields=(),
     forcing_time_grid=None,
+    differentiable: bool = False,
 ):
     """Build ``run(Y, t0) -> Y'`` advancing ``steps_per_call`` steps with the
     state resident in VMEM.
@@ -94,6 +95,12 @@ def make_fused_column_run(
     serves every trial step size, and a step landing anywhere in the table
     picks up the right row (``t_start``/``dt_forcing`` ride in SMEM, so
     successive windows reuse the compiled kernel).
+
+    ``differentiable=True`` returns a run with a recompute-based
+    ``jax.custom_vjp``: the primal forward is the kernel, the backward
+    re-traces the SAME stepper/rhs as an XLA scan and differentiates it
+    (segment-level rematerialization; gradients == the XLA engine's,
+    AD == finite-difference tested).  Plain soil column only.
     """
     import numpy as np
 
@@ -478,7 +485,7 @@ def make_fused_column_run(
 
         return kernel
 
-    def run(Y: dict, t0, forcing=None, dt_run=None) -> dict:
+    def _run(Y: dict, t0, forcing=None, dt_run=None) -> dict:
         """Advance ``steps_per_call`` steps from ``t0``.  ``dt_run``
         overrides the factory ``dt`` with a possibly TRACED step size (the
         adaptive-fused driver's control variable); both ride in the same
@@ -628,5 +635,63 @@ def make_fused_column_run(
         if is_land:
             result[surf_name] = {"h_s": out[n_state][0]}
         return result
+
+    if not differentiable:
+        return _run
+
+    # ---- differentiable variant (VERDICT r4 item 8) ----
+    # pallas_call has no VJP; wrap the kernel in a recompute-based
+    # custom_vjp whose backward re-traces the SAME stepper/rhs as an XLA
+    # scan and differentiates that.  The primal forward keeps the kernel
+    # rate (loss evaluations, ensembles, line searches run fused); a
+    # gradient costs one XLA forward + backward — and because the kernel
+    # is equivalence-tested against the XLA path to f32 ulp, the custom
+    # gradient is the (numerically validated) gradient of the primal.
+    if is_land or forcing_fields or streamed_geometry is not None:
+        raise NotImplementedError(
+            "differentiable=True currently covers the plain soil column "
+            "kernel (no LandModel composition, streamed forcing, or "
+            "streamed geometry) — differentiate those via the XLA engine"
+        )
+
+    def _xla_equiv(Y, t0, dt_run):
+        rhs_h = make_rhs(model, grid_obj)
+        st_h = stepper  # the factory-wrapped stepper (projection/lagged)
+        Ya_h = {"zc": jnp.asarray(grid_obj.zc, dtype=dtype), name: {}}
+
+        def body(carry, _):
+            Yc, t = carry
+            return (st_h.step(rhs_h, Yc, Ya_h, t, dt_run), t + dt_run), None
+
+        (Yf, _), _ = jax.lax.scan(
+            body,
+            (Y, jnp.asarray(t0, dtype=dtype)),
+            None,
+            length=steps_per_call,
+        )
+        return Yf
+
+    @jax.custom_vjp
+    def run_ad(Y, t0, dt_run):
+        return _run(Y, t0, dt_run=dt_run)
+
+    def _fwd(Y, t0, dt_run):
+        # residuals = the inputs only (O(state) memory): the backward
+        # recomputes the trajectory, a segment-level remat
+        return _run(Y, t0, dt_run=dt_run), (Y, t0, dt_run)
+
+    def _bwd(res, ct):
+        Y, t0, dt_run = res
+        _, vjp = jax.vjp(lambda Yv: _xla_equiv(Yv, t0, dt_run), Y)
+        (dY,) = vjp(ct)
+        return dY, None, None
+
+    run_ad.defvjp(_fwd, _bwd)
+
+    def run(Y, t0, forcing=None, dt_run=None):
+        if forcing is not None:
+            raise ValueError("differentiable fused run takes no forcing")
+        dt_in = jnp.asarray(dt_c if dt_run is None else dt_run, dtype=dtype)
+        return run_ad(Y, jnp.asarray(t0, dtype=dtype), dt_in)
 
     return run
