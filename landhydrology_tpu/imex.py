@@ -41,7 +41,7 @@ from landhydrology_tpu.domains import ColumnGrid
 from landhydrology_tpu.models.soil import water as sw
 from landhydrology_tpu.models.soil.model import SoilHydrologyModel, SoilModel
 from landhydrology_tpu.ops.stencil import interp_c2f_interior
-from landhydrology_tpu.ops.tridiag import thomas_solve
+from landhydrology_tpu.ops.tridiag import pcr_solve, thomas_solve
 from landhydrology_tpu.timestepping import AbstractTimestepper
 
 Array = Any
@@ -55,6 +55,7 @@ def _backward_euler_delta(
     grid: ColumnGrid,
     diag_boost_bot: Array = 0.0,
     diag_boost_top: Array = 0.0,
+    solver: str = "thomas",
 ) -> Array:
     """Solve ``(I - dt A) delta = b`` for one frozen-coefficient diffusion
     linearization — the shared tridiagonal assembly of the implicit
@@ -101,6 +102,10 @@ def _backward_euler_delta(
     dl = -dt * sub_A
     d = 1.0 - dt * diag_A
     du = -dt * sup_A
+    if solver == "pcr":
+        return pcr_solve(dl, d, du, b)
+    if solver != "thomas":
+        raise ValueError(f"unknown tridiagonal solver {solver!r}")
     return thomas_solve(dl, d, du, b)
 
 
@@ -115,7 +120,7 @@ def _dpsi_dtheta(hm, vartheta_l: Array, nu_eff: Array, S_s: Array) -> Array:
 
 def _water_newton_sweep(
     model, grid, rhs, Ybase: dict, Ya: dict, v_m: Array,
-    c_const: Array, w: Array, t_eval: Array,
+    c_const: Array, w: Array, t_eval: Array, solver: str = "thomas",
 ) -> Array:
     """One frozen-coefficient Newton update for the water **stage equation**
 
@@ -190,13 +195,22 @@ def _water_newton_sweep(
         boost_top = -K_f * C[nz_top] / (dz_half * dz)
 
     b = c_const - v_m + w * f
-    delta = _backward_euler_delta(K, C, b, w, grid, boost_bot, boost_top)
+    delta = _backward_euler_delta(
+        K, C, b, w, grid, boost_bot, boost_top, solver=solver
+    )
+    # trust region: one frozen-coefficient Newton update moving vartheta_l
+    # by more than ~half a porosity is outside the linearization's
+    # validity — at very large dt on coarse grids the unclamped iterate
+    # can oscillate divergently (measured: +-6e3 at 40x CFL, nz=16).
+    # Inactive near convergence (delta -> 0), so converged fixed points
+    # and temporal order are untouched.
+    delta = jnp.clip(delta, -0.15, 0.15)
     return v_m + delta
 
 
 def _heat_newton_sweep(
     model, grid, rhs, Ybase: dict, Ya: dict, e_m: Array,
-    c_const: Array, w: Array, t_eval: Array,
+    c_const: Array, w: Array, t_eval: Array, solver: str = "thomas",
 ) -> Array:
     """One frozen-coefficient Newton update for the heat stage equation
     ``e = c_const + w * f_e(e)`` (water/ice frozen at Ybase); linear in the
@@ -229,7 +243,9 @@ def _heat_newton_sweep(
         boost_top = -kappa[top] * C[top] / (dz_half * dz)
 
     b = c_const - e_m + w * f
-    delta = _backward_euler_delta(kappa, C, b, w, grid, boost_bot, boost_top)
+    delta = _backward_euler_delta(
+        kappa, C, b, w, grid, boost_bot, boost_top, solver=solver
+    )
     return e_m + delta
 
 
@@ -247,6 +263,10 @@ class BackwardEulerRichards(AbstractTimestepper):
     model: SoilModel
     grid: ColumnGrid
     iters: int = 2
+    #: tridiagonal backend: "thomas" (serial sweep) or "pcr" (parallel
+    #: cyclic reduction — latency-parallel over nz, the faster choice
+    #: inside the fused kernel; see ops/tridiag.py)
+    tridiag: str = "thomas"
     unconditionally_stable = True
     order = 1
 
@@ -286,7 +306,8 @@ class BackwardEulerRichards(AbstractTimestepper):
         v_new = v_n
         for _ in range(self.iters):
             v_new = _water_newton_sweep(
-                model, grid, rhs, Y, Ya, v_new, v_n, dt, t_new
+                model, grid, rhs, Y, Ya, v_new, v_n, dt, t_new,
+                solver=self.tridiag,
             )
         return v_new
 
@@ -304,6 +325,7 @@ class BackwardEulerSoil(AbstractTimestepper):
     model: SoilModel
     grid: ColumnGrid
     iters: int = 2
+    tridiag: str = "thomas"
     unconditionally_stable = True
     order = 1
 
@@ -321,7 +343,9 @@ class BackwardEulerSoil(AbstractTimestepper):
         # the Newton coefficients may need rho_e_int (T-dependent viscosity);
         # water_solve skips the explicit tail BackwardEulerRichards.step
         # would add for the variables this stepper advances implicitly
-        water = BackwardEulerRichards(model=model, grid=grid, iters=self.iters)
+        water = BackwardEulerRichards(
+            model=model, grid=grid, iters=self.iters, tridiag=self.tridiag
+        )
         v_new = water.water_solve(rhs, Y, Ya, t, dt)
 
         # 2) implicit heat update with the new water field
@@ -332,7 +356,8 @@ class BackwardEulerSoil(AbstractTimestepper):
         e_new = e_n  # Python-unrolled (Mosaic-lowerable, see water_solve)
         for _ in range(self.iters):
             e_new = _heat_newton_sweep(
-                model, grid, rhs, Ybase, Ya, e_new, e_n, dt, t_new
+                model, grid, rhs, Ybase, Ya, e_new, e_n, dt, t_new,
+                solver=self.tridiag,
             )
         out = dict(Y[name], vartheta_l=v_new, rho_e_int=e_new)
         if model.freeze_thaw is not None:
@@ -373,6 +398,7 @@ class TRBDF2Soil(AbstractTimestepper):
     model: SoilModel
     grid: ColumnGrid
     iters: int = 3
+    tridiag: str = "thomas"
     unconditionally_stable = True
     order = 2
 
@@ -453,12 +479,14 @@ class TRBDF2Soil(AbstractTimestepper):
                 v = _water_newton_sweep(
                     model, grid, rhs, {name: st}, Ya,
                     st["vartheta_l"], c["vartheta_l"], w, t_eval,
+                    solver=self.tridiag,
                 )
                 st = dict(st, vartheta_l=v)
             if heat:
                 e = _heat_newton_sweep(
                     model, grid, rhs, {name: st}, Ya,
                     st["rho_e_int"], c["rho_e_int"], w, t_eval,
+                    solver=self.tridiag,
                 )
                 st = dict(st, rho_e_int=e)
             if has_ft and "theta_i" in st:

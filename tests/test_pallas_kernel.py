@@ -517,3 +517,39 @@ def test_fused_kernel_trbdf2_heterogeneous_params():
             atol=1e-16,
             err_msg=k,
         )
+
+
+def test_fused_kernel_trbdf2_pcr_matches_thomas():
+    """The PCR tridiagonal backend (latency-parallel over nz) through the
+    fused kernel converges to the same implicit step as the Thomas backend
+    (the Newton fixed point is set by the rhs, not the linear solver)."""
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    model = _model(VerticalFlux(0.0), VerticalFlux(0.0))
+    grid = make_function_space(model.domain, jnp.float64)
+    Y = _state()
+    Ya = {"zc": grid.zc, "soil": {}}
+    dt, n = 600.0, 2
+
+    outs = {}
+    for solver in ("thomas", "pcr"):
+        stepper = TRBDF2Soil(model=model, grid=grid, iters=3, tridiag=solver)
+        run = make_fused_column_run(
+            model, stepper, dt=dt, steps_per_call=n, tile_cols=128,
+            interpret=True,
+        )
+        outs[solver] = run(Y, 0.0)
+        # each backend matches its own XLA trace exactly
+        Yr = _implicit_reference(model, stepper, Y, Ya, dt, n)
+        for k in Y["soil"]:
+            np.testing.assert_allclose(
+                np.asarray(outs[solver]["soil"][k]),
+                np.asarray(Yr["soil"][k]),
+                rtol=1e-12, atol=1e-16, err_msg=f"{solver}/{k}",
+            )
+    # and the two backends agree to Newton-converged tolerance
+    for k in Y["soil"]:
+        a = np.asarray(outs["thomas"]["soil"][k])
+        b = np.asarray(outs["pcr"]["soil"][k])
+        scale = np.max(np.abs(a)) or 1.0
+        assert np.max(np.abs(a - b)) / scale < 1e-9, k

@@ -72,3 +72,37 @@ def test_thomas_solve_matches_dense():
             + np.diag(du[:-1, j], 1)
         )
         np.testing.assert_allclose(x[:, j], np.linalg.solve(A, b[:, j]), rtol=1e-10)
+
+
+def test_pcr_solve_matches_dense_and_thomas():
+    """Parallel cyclic reduction == dense solve == Thomas on diagonally
+    dominant batches, for power-of-2 and odd sizes."""
+    import numpy as np
+
+    from landhydrology_tpu.ops.tridiag import pcr_solve
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 7, 16, 24, 64):
+        batch = 5
+        dl = rng.uniform(-1.0, 0.0, (n, batch))
+        du = rng.uniform(-1.0, 0.0, (n, batch))
+        d = 2.5 + rng.uniform(0.0, 1.0, (n, batch))  # strictly dominant
+        b = rng.standard_normal((n, batch))
+        x_pcr = np.asarray(
+            pcr_solve(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+                      jnp.asarray(b))
+        )
+        x_th = np.asarray(
+            thomas_solve(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+                         jnp.asarray(b))
+        )
+        for j in range(batch):
+            A = np.diag(d[:, j])
+            for i in range(1, n):
+                A[i, i - 1] = dl[i, j]
+                A[i - 1, i] = du[i - 1, j]
+            x_dense = np.linalg.solve(A, b[:, j])
+            np.testing.assert_allclose(x_pcr[:, j], x_dense, rtol=1e-11,
+                                       atol=1e-13, err_msg=f"pcr n={n}")
+            np.testing.assert_allclose(x_th[:, j], x_dense, rtol=1e-11,
+                                       atol=1e-13, err_msg=f"thomas n={n}")
