@@ -53,7 +53,7 @@ STEPPERS = {
 IMPLICIT_STEPPERS = ("BackwardEulerRichards", "BackwardEulerSoil", "TRBDF2Soil")
 
 
-def _build_stepper(name: str, model=None, iters=None):
+def _build_stepper(name: str, model=None, iters=None, tridiag=None):
     if name in STEPPERS:
         return STEPPERS[name]()
     if name in IMPLICIT_STEPPERS:
@@ -70,6 +70,10 @@ def _build_stepper(name: str, model=None, iters=None):
         kwargs = {"model": soil, "grid": grid}
         if iters is not None:
             kwargs["iters"] = int(iters)
+        if tridiag is not None:
+            # "thomas" (serial sweep) or "pcr" (latency-parallel cyclic
+            # reduction — the faster backend inside the fused kernel)
+            kwargs["tridiag"] = str(tridiag)
         return getattr(imex, name)(**kwargs)
     raise KeyError(
         f"unknown stepper {name!r}; available: "
@@ -165,7 +169,8 @@ def load_run(path: str):
     model = from_config(cfg["model"])
     sim = cfg.get("simulation", {})
     stepper = _build_stepper(
-        sim.get("stepper", "SSPRK33"), model, sim.get("iters")
+        sim.get("stepper", "SSPRK33"), model, sim.get("iters"),
+        sim.get("tridiag"),
     )
     Y, Ya = _build_ic(model, cfg.get("initial_conditions", {"kind": "default"}))
     sim_kwargs = dict(
