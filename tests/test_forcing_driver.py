@@ -473,3 +473,69 @@ def test_adaptive_forced_validation():
             model, SSPRK33(), dt=1.0, forcing_time_grid=(0.0, 1.0, 4),
             interpret=True,
         )
+
+
+def test_adaptive_forced_with_implicit_stepper_both_engines():
+    """The full composition: TR-BDF2 (implicit, PCR backend) under
+    adaptive error control under streamed time-varying forcing, on BOTH
+    engines — the 'every engine enforces every policy' bar extended to
+    the implicit steppers."""
+    from landhydrology_tpu.adaptive import AdaptiveConfig, run_adaptive_forced
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    n_rows, dtF = 6, 600.0
+    tables = _pulse_tables(n_rows, np.random.default_rng(13))
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    grid = make_function_space(model.domain, jnp.float64)
+    stepper = TRBDF2Soil(model=model, grid=grid, iters=2, tridiag="pcr")
+    tf = n_rows * dtF
+    cfg = AdaptiveConfig(rtol=1e-6, atol=1e-10, dt_max=dtF / 2)
+
+    Yx, sx = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=120.0, forcing=tables, forcing_dt=dtF,
+        stepper=stepper, config=cfg, engine="xla",
+    )
+    Yf, sf = run_adaptive_forced(
+        model, Y, Ya, 0.0, tf, dt0=120.0, forcing=tables, forcing_dt=dtF,
+        stepper=stepper, config=cfg, engine="fused", steps_per_call=1,
+        tile_cols=NCOL,
+    )
+    assert bool(sx["converged"]) and bool(sf["converged"])
+    assert int(sf["n_accepted"]) == int(sx["n_accepted"])
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yx["soil"][k]),
+            rtol=1e-9, atol=1e-12, err_msg=k,
+        )
+
+
+def test_forced_scan_with_implicit_stepper_fused_matches_xla():
+    """make_forced_segment_run drives the implicit stepper too: fused
+    (rows through the kernel, TR-BDF2 in-kernel) == XLA forced scan."""
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    n_steps = 12
+    fields = _diurnal_forcing(n_steps, np.random.default_rng(17))
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    grid = make_function_space(model.domain, jnp.float64)
+    stepper = TRBDF2Soil(model=model, grid=grid, iters=2)
+    forcing = {k: jnp.asarray(v) for k, v in fields.items()}
+
+    seg_x = make_forced_segment_run(
+        model, stepper, dt=300.0, field_names=sorted(fields)
+    )
+    Yx, _ = seg_x(Y, Ya, 0.0, forcing)
+    seg_f = make_forced_segment_run(
+        model, stepper, dt=300.0, field_names=sorted(fields),
+        engine="fused", steps_per_call=4, tile_cols=NCOL,
+    )
+    Yf, _ = seg_f(Y, Ya, 0.0, forcing)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yf["soil"][k]), np.asarray(Yx["soil"][k]),
+            rtol=1e-11, atol=1e-15, err_msg=k,
+        )
