@@ -588,7 +588,12 @@ def main():
             )
         }
         dt_exp = 0.5 * float(explicit_dt_limit(model_st, Y_wet))
-        dt_imp = args.implicit_dt_factor * dt_exp
+        # integer factor keeps the matched-accuracy horizons EXACTLY equal
+        # (the explicit accuracy run takes factor_i steps per implicit
+        # step); a fractional --implicit-dt-factor would silently compare
+        # different horizons
+        factor_i = int(round(args.implicit_dt_factor))
+        dt_imp = factor_i * dt_exp
         stepper_im = TRBDF2Soil(
             model=model_st, grid=grid_st, iters=2,
             tridiag=args.implicit_solver,
@@ -668,7 +673,6 @@ def main():
         def acc_im(Y, t0):
             return fused_im(Y, t0)  # one call = spc_im steps
 
-        factor_i = int(round(args.implicit_dt_factor))
         fused_ex_acc = make_fused_column_run(
             model_st, stepper, dt=dt_exp, steps_per_call=factor_i,
             tile_cols=args.tile_cols, interpret=interpret,
@@ -712,6 +716,7 @@ def main():
             # the same accuracy tolerance (dev reported below)
             "effective_speedup_matched_accuracy": (gps_im * dt_imp)
             / (gps_ex_st * dt_exp),
+            "implicit_dt_factor": factor_i,
             "max_dev_implicit_vs_explicit": dev_imp,
             "rmse_implicit_vs_explicit": rmse_imp,
             "implicit_finite": bool(_np.isfinite(v_im_acc).all()),

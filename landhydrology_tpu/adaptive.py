@@ -243,16 +243,12 @@ def run_adaptive_forced(
         inner=stepper, model=model, grid=grid, tables=tables,
         t_start=float(forcing_t0), dt_forcing=float(forcing_dt),
     )
-    if is_land:
-        from landhydrology_tpu.models.land import make_rhs as make_land_rhs
-
-        rhs = make_land_rhs(model, grid)
-    else:
-        rhs = model.make_rhs(grid)
-    # policies are applied per-step inside TimeForcedStepper (they must see
-    # the row-local model), so model=None here
+    # TimeForcedStepper rebuilds the ROW-LOCAL rhs inside every step and
+    # ignores the rhs argument entirely (the unforced model's rhs would be
+    # wrong to integrate), so pass an explicit sentinel; policies are
+    # likewise applied per-step inside the wrapper, so model=None here
     return run_adaptive(
-        rhs, Y, Ya, t0, tf, dt0, stepper=wrapped, config=config
+        None, Y, Ya, t0, tf, dt0, stepper=wrapped, config=config
     )
 
 

@@ -74,6 +74,11 @@ def _backward_euler_delta(
     """
     dz = grid.dz
     nz = K.shape[0]
+    if nz == 1:
+        # single-cell column: no interior faces, the system is diagonal
+        # (the three-part concat below would duplicate the lone row)
+        d = 1.0 - dt * (diag_boost_bot + diag_boost_top)
+        return b / d
     Kf = interp_c2f_interior(K)  # (nz-1, *batch) interior faces
     zeros = jnp.zeros_like(K[0:1])
     K_minus = jnp.concatenate([zeros, Kf], axis=0)  # face below cell i
@@ -199,12 +204,15 @@ def _water_newton_sweep(
         K, C, b, w, grid, boost_bot, boost_top, solver=solver
     )
     # trust region: one frozen-coefficient Newton update moving vartheta_l
-    # by more than ~half a porosity is outside the linearization's
+    # by more than ~half the porosity is outside the linearization's
     # validity — at very large dt on coarse grids the unclamped iterate
     # can oscillate divergently (measured: +-6e3 at 40x CFL, nz=16).
-    # Inactive near convergence (delta -> 0), so converged fixed points
-    # and temporal order are untouched.
-    delta = jnp.clip(delta, -0.15, 0.15)
+    # The bound scales with the column's own porosity (per-column nu
+    # broadcasts), so high-porosity soils keep their legitimately larger
+    # updates.  Inactive near convergence (delta -> 0): converged fixed
+    # points and temporal order are untouched.
+    lim = 0.5 * sp.nu
+    delta = jnp.clip(delta, -lim, lim)
     return v_m + delta
 
 

@@ -543,6 +543,24 @@ def make_fused_column_run(
                         f"forcing field {k!r} has shape {v.shape}; expected "
                         f"({n_frows},) or ({n_frows}, {ncol})"
                     )
+        if time_indexed and fcol_inputs:
+            # the WHOLE table rides per tile: guard against silently
+            # blowing VMEM (state + temporaries need most of ~16 MB) with
+            # an actionable message instead of an opaque Mosaic allocation
+            # failure
+            table_mb = (
+                len(fcol_inputs) * n_frows * tile_cols * 4 / (1024 * 1024)
+            )
+            if table_mb > 4.0:
+                raise ValueError(
+                    f"time-indexed per-column forcing keeps the full table "
+                    f"in VMEM per tile: {len(fcol_inputs)} field(s) x "
+                    f"{n_frows} rows x tile_cols={tile_cols} = "
+                    f"{table_mb:.1f} MB > 4 MB budget — chunk the horizon "
+                    "into shorter tables (re-invoke per window with "
+                    "forcing_t0 advanced), reduce tile_cols, or use "
+                    "scalar rows"
+                )
         kernel = _make_kernel(tuple(scal_names), tuple(col_names))
         fscal_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM) for _ in fscal_inputs
@@ -681,10 +699,13 @@ def make_fused_column_run(
         return _run(Y, t0, dt_run=dt_run), (Y, t0, dt_run)
 
     def _bwd(res, ct):
+        # full vjp over (Y, t0, dt_run): a None cotangent would silently
+        # read as a ZERO gradient for t0/dt_run, but the state genuinely
+        # depends on both (stage times; step size) — calibration of dt or
+        # start-time sensitivities must get the true gradient
         Y, t0, dt_run = res
-        _, vjp = jax.vjp(lambda Yv: _xla_equiv(Yv, t0, dt_run), Y)
-        (dY,) = vjp(ct)
-        return dY, None, None
+        _, vjp = jax.vjp(_xla_equiv, Y, t0, dt_run)
+        return vjp(ct)
 
     run_ad.defvjp(_fwd, _bwd)
 

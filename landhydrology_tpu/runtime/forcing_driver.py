@@ -137,8 +137,17 @@ class TimeForcedStepper(AbstractTimestepper):
         model = self.model
         atmos_keys, has_precip = _split_routing(model, tuple(self.tables))
         n_rows = next(iter(self.tables.values())).shape[0]
+        # EXACTLY the fused kernel's lookup arithmetic — (t - t0) times a
+        # PRECOMPUTED reciprocal in the state dtype, then truncate
+        # (column_kernel.py time_indexed path).  A division here rounds
+        # differently and can truncate to the adjacent row when a step
+        # lands on a row boundary, silently desynchronizing the two
+        # engines of run_adaptive_forced.
+        t = jnp.asarray(t)
+        inv_dtF = jnp.asarray(1.0 / self.dt_forcing, dtype=t.dtype)
+        t_start = jnp.asarray(self.t_start, dtype=t.dtype)
         j = jnp.clip(
-            ((t - self.t_start) / self.dt_forcing).astype(jnp.int32),
+            ((t - t_start) * inv_dtF).astype(jnp.int32),
             0,
             n_rows - 1,
         )
@@ -193,7 +202,6 @@ def make_forced_segment_run(
     grid = make_function_space(soil.domain, model.float_dtype)
     dtype = model.float_dtype
     atmos_keys, has_precip = _split_routing(model, tuple(field_names))
-    bc = soil.boundary_conditions
 
     if engine == "fused":
         return _make_forced_fused_run(
@@ -214,28 +222,9 @@ def make_forced_segment_run(
 
     def _model_at(rows: Dict[str, Array]):
         """Model with this step's forcing values installed (trace-time
-        closure construction only)."""
-        out = model
-        if atmos_keys:
-            top = dataclasses.replace(
-                bc.top, **{k: rows[k] for k in atmos_keys}
-            )
-            soil_t = dataclasses.replace(
-                soil,
-                boundary_conditions=SoilColumnBC(top=top, bottom=bc.bottom),
-            )
-            out = (
-                dataclasses.replace(model, soil=soil_t) if is_land else soil_t
-            )
-        if has_precip:
-            P = rows["precipitation"]
-            out = dataclasses.replace(
-                out,
-                surface=dataclasses.replace(
-                    out.surface, precipitation=lambda t: P
-                ),
-            )
-        return out
+        closure construction only; one shared implementation with the
+        adaptive TimeForcedStepper)."""
+        return _install_forcing_rows(model, rows, atmos_keys, has_precip)
 
     dt_a = jnp.asarray(dt, dtype=dtype)
 

@@ -241,3 +241,62 @@ def test_differentiable_fused_rejects_unsupported():
         make_fused_column_run(
             land, SSPRK33(), dt=1.0, interpret=True, differentiable=True
         )
+
+
+def test_fused_kernel_dt_gradient_not_silently_zero():
+    """The differentiable fused run must propagate REAL cotangents for
+    dt_run (a None cotangent silently reads as zero): d loss / d dt
+    matches finite differences."""
+    from landhydrology_tpu import (
+        Column,
+        FreeDrainage,
+        PrescribedTemperatureModel,
+        SoilColumnBC,
+        SoilComponentBC,
+        SoilHydrologyModel,
+        SoilModel,
+        SoilParams,
+        VerticalFlux,
+        initialize_states,
+    )
+    from landhydrology_tpu.models.soil import vanGenuchten
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+    from landhydrology_tpu.timestepping import SSPRK33
+
+    NZ, NCOL = 8, 16
+    model = SoilModel(
+        domain=Column(zlim=(-1.0, 0.0), nelements=NZ, batch_shape=(NCOL,)),
+        energy_model=PrescribedTemperatureModel(),
+        hydrology_model=SoilHydrologyModel(
+            hydraulic_model=vanGenuchten(
+                n=2.0, alpha=2.6, Ksat=1e-6, theta_r=0.05
+            )
+        ),
+        boundary_conditions=SoilColumnBC(
+            top=SoilComponentBC(hydrology=VerticalFlux(-1e-7)),
+            bottom=SoilComponentBC(hydrology=FreeDrainage()),
+        ),
+        soil_param_set=SoilParams(nu=0.4, S_s=1e-3),
+    )
+    Y, Ya = initialize_states(
+        model,
+        lambda z, m: {
+            "vartheta_l": 0.2 + 0.03 * jnp.sin(3.0 * z) + 0 * z,
+            "theta_i": jnp.zeros_like(z),
+        },
+        0.0,
+    )
+    run = make_fused_column_run(
+        model, SSPRK33(), dt=20.0, steps_per_call=4, tile_cols=NCOL,
+        interpret=True, differentiable=True,
+    )
+
+    def loss(dt):
+        return jnp.mean(run(Y, 0.0, dt_run=dt)["soil"]["vartheta_l"] ** 2)
+
+    g = float(jax.grad(loss)(jnp.float64(20.0)))
+    eps = 1e-3
+    fd = (float(loss(jnp.float64(20.0 + eps)))
+          - float(loss(jnp.float64(20.0 - eps)))) / (2 * eps)
+    assert g != 0.0
+    np.testing.assert_allclose(g, fd, rtol=1e-5)

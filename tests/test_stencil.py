@@ -106,3 +106,26 @@ def test_pcr_solve_matches_dense_and_thomas():
                                        atol=1e-13, err_msg=f"pcr n={n}")
             np.testing.assert_allclose(x_th[:, j], x_dense, rtol=1e-11,
                                        atol=1e-13, err_msg=f"thomas n={n}")
+
+
+def test_backward_euler_delta_single_cell_shape():
+    """nz == 1 column: the tridiagonal assembly degenerates to a diagonal
+    solve and must preserve the (1, batch) shape (the concat-based
+    assembly once duplicated the lone row)."""
+    from landhydrology_tpu.domains import ColumnGrid
+    from landhydrology_tpu.imex import _backward_euler_delta
+
+    grid = ColumnGrid(
+        zc=np.zeros((1, 1)), zf=np.zeros((2, 1)), dz=0.5, nz=1,
+        batch_shape=(3,),
+    )
+    K = jnp.ones((1, 3))
+    C = jnp.full((1, 3), 2.0)
+    b = jnp.asarray([[1.0, 2.0, 3.0]])
+    out = _backward_euler_delta(K, C, b, 10.0, grid)
+    assert out.shape == (1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(b))  # A = I
+    # with a boundary boost the diagonal changes but the shape holds
+    out2 = _backward_euler_delta(K, C, b, 10.0, grid, diag_boost_top=-0.05)
+    assert out2.shape == (1, 3)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(b) / 1.5)
