@@ -539,3 +539,92 @@ def test_forced_scan_with_implicit_stepper_fused_matches_xla():
             np.asarray(Yf["soil"][k]), np.asarray(Yx["soil"][k]),
             rtol=1e-11, atol=1e-15, err_msg=k,
         )
+
+
+def test_time_indexed_rows_clamp_at_table_ends():
+    """Steps whose start time falls before the forcing grid's origin or
+    beyond its last row read the clamped end rows (documented semantics),
+    on both engines identically."""
+    from landhydrology_tpu.domains import make_function_space
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+    from landhydrology_tpu.runtime.forcing_driver import TimeForcedStepper
+
+    n_rows, dtF = 4, 100.0
+    tables = {
+        "u_atm": jnp.asarray([1.0, 2.0, 3.0, 4.0]),
+        "q_atm": jnp.asarray(
+            0.003 + 0.001 * np.arange(n_rows)[:, None]
+            + np.zeros((n_rows, NCOL))
+        ),
+    }
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    grid = make_function_space(model.domain, jnp.float64)
+    # forcing grid starts at t=200: the first two dt=100 steps start
+    # BEFORE it (clamp to row 0); the last steps run past the table
+    # (clamp to row 3)
+    t_start, dt, n = 200.0, 100.0, 9
+    st = TimeForcedStepper(
+        inner=SSPRK33(), model=model, grid=grid, tables=tables,
+        t_start=t_start, dt_forcing=dtF,
+    )
+
+    Yx, t = Y, jnp.asarray(0.0)
+    for _ in range(n):
+        Yx = st.step(None, Yx, Ya, t, jnp.asarray(dt))
+        t = t + dt
+
+    run = make_fused_column_run(
+        model, SSPRK33(), dt=dt, steps_per_call=n, tile_cols=NCOL,
+        interpret=True, forcing_fields=tuple(sorted(tables)),
+        forcing_time_grid=(t_start, dtF, n_rows),
+    )
+    Yk = run(Y, 0.0, forcing=tables)
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yk["soil"][k]), np.asarray(Yx["soil"][k]),
+            rtol=1e-12, atol=1e-16, err_msg=k,
+        )
+
+    # manual reference with the clamped row sequence: steps at
+    # t=0,100 -> row 0; 200->0, 300->1, 400->2, 500->3; 600,700,800 -> 3
+    rows_seq = [0, 0, 0, 1, 2, 3, 3, 3, 3]
+    Ym, t = Y, jnp.asarray(0.0)
+    for i in range(n):
+        mi = dataclasses.replace(
+            model,
+            boundary_conditions=SoilColumnBC(
+                top=dataclasses.replace(
+                    model.boundary_conditions.top,
+                    u_atm=tables["u_atm"][rows_seq[i]],
+                    q_atm=tables["q_atm"][rows_seq[i]],
+                ),
+                bottom=model.boundary_conditions.bottom,
+            ),
+        )
+        rhs_i = mi.make_rhs(grid)
+        Ym = SSPRK33().step(rhs_i, Ym, Ya, t, jnp.asarray(dt))
+        t = t + dt
+    for k in Y["soil"]:
+        np.testing.assert_allclose(
+            np.asarray(Yx["soil"][k]), np.asarray(Ym["soil"][k]),
+            rtol=1e-12, atol=1e-16, err_msg=k,
+        )
+
+
+def test_time_indexed_table_vmem_guard():
+    """Oversized per-column time-indexed tables raise the actionable
+    VMEM-budget error, not an opaque Mosaic failure."""
+    from landhydrology_tpu.ops.pallas import make_fused_column_run
+
+    model = _atmos_soil()
+    Y, Ya = initialize_states(model, _ic, 0.0)
+    n_rows = 300_000  # 300k rows x 16 cols x 4 B ~ 18 MB > the 4 MB budget
+    run = make_fused_column_run(
+        model, SSPRK33(), dt=1.0, steps_per_call=2, tile_cols=NCOL,
+        interpret=True, forcing_fields=("q_atm",),
+        forcing_time_grid=(0.0, 1.0, n_rows),
+    )
+    big = {"q_atm": jnp.zeros((n_rows, NCOL))}
+    with pytest.raises(ValueError, match="VMEM"):
+        run(Y, 0.0, forcing=big)
