@@ -77,6 +77,17 @@ _N_ROUNDS_F64 = 20
 #: width 50 * 9^-4 = 7.6e-3 zeta, double-falsi error ~ w^2.6 ~ 3e-6, below
 #: the f32 state representation noise (Brent-oracle-validated)
 _N_ROUNDS_F32 = 4
+#: f32 root-find method: "multisection" (8-point stacked probes — best
+#: sublane occupancy) or "illinois" (safeguarded regula falsi — ~3.4x
+#: fewer vector ISSUE slots per solve via thin evaluations; the measured
+#: land kernel is issue-bound, see the branch comment in the solve body).
+#: f64 always runs the 20-round multisection (the oracle-grade path).
+_F32_METHOD = "multisection"
+#: Illinois iteration count (thin h evaluations after the 2 endpoints).
+#: 14 is the measured count for convergence parity with the multisection
+#: on a 4k-state random grid (8 leaves ~9% of columns short near the
+#: decoupling regime)
+_N_ILLINOIS = 14
 #: bisection bracket in zeta = z_atm/L units; beyond |zeta|=50 Businger
 #: similarity has no credible solution (critical-stability decoupling) and
 #: the bracketed answer saturates at the edge (a regularization, flagged by
@@ -379,6 +390,60 @@ def surface_conditions(
     n_rounds = (
         _N_ROUNDS_F64 if zero.dtype == jnp.float64 else _N_ROUNDS_F32
     )
+    if zero.dtype != jnp.float64 and _F32_METHOD == "illinois":
+        # --- Illinois (safeguarded regula falsi) f32 path ---
+        # The multisection's 8-point probe STACKS fill the sublane axis,
+        # but each stacked h evaluation costs 8x the vector issue slots of
+        # a thin (1, batch) one — and the measured land kernel is ISSUE-
+        # bound (combined issue ~1.0, profile_land_r5.json), not occupancy-
+        # bound.  Illinois converges superlinearly on the smooth single-
+        # branch h over the sign-restricted bracket in ~8 THIN evaluations
+        # (10 including the endpoints): ~3.4x fewer issue slots per solve
+        # than 4 stacked rounds + polish, at the price of a longer serial
+        # chain that the unrolled step DAG can overlap with the nz-wide
+        # soil sweep.  Accuracy is pinned by the same Brent oracle
+        # (tests/soil/test_most_oracle.py runs the grid under BOTH
+        # methods).
+        lo0, hi0 = lo, hi
+        a, b_ = lo, hi
+        fa = h(a)
+        fb = h(b_)
+        bracketed = fa * fb <= 0.0
+        prev_left = None
+        for _i in range(_N_ILLINOIS):
+            den = fb - fa
+            ok = jnp.abs(den) > 0.0
+            x = (a * fb - b_ * fa) / jnp.where(ok, den, 1.0)
+            x = jnp.clip(jnp.where(ok, x, 0.5 * (a + b_)), a, b_)
+            fx = h(x)
+            left = fa * fx <= 0.0  # root in [a, x]
+            if prev_left is not None:
+                # Illinois anti-stagnation: replacing the SAME endpoint
+                # twice halves the stale endpoint's value, forcing the
+                # secant through the interval
+                same = left == prev_left
+                fa = jnp.where(left & same, 0.5 * fa, fa)
+                fb = jnp.where((~left) & same, 0.5 * fb, fb)
+            a, fa, b_, fb = (
+                jnp.where(left, a, x),
+                jnp.where(left, fa, fx),
+                jnp.where(left, x, b_),
+                jnp.where(left, fx, fb),
+            )
+            prev_left = left
+        den = fb - fa
+        ok = bracketed & (jnp.abs(den) > 0.0)
+        Linv = jnp.clip(
+            (a * fb - b_ * fa) / jnp.where(ok, den, 1.0), a, b_
+        )
+        # no sign change in the bracket (critical-stability decoupling /
+        # exact neutral): same midpoint regularization + large-residual
+        # flag as the multisection path
+        Linv = jnp.where(ok, Linv, 0.5 * (lo0 + hi0))
+        delta = 0.5 * (b_ - a)
+        return _finish_surface_conditions(
+            param_set, Linv, delta, denoms, f, du, dtheta, dq
+        )
     k = _N_SECTIONS
     inv = 1.0 / (k + 1.0)
 
@@ -460,6 +525,15 @@ def surface_conditions(
     Linv_falsi = jnp.clip(Linv_falsi, lo, hi)
     Linv = jnp.where(use_falsi, Linv_falsi, 0.5 * (lo + hi))
     delta = 0.5 * (hi - lo)
+    return _finish_surface_conditions(
+        param_set, Linv, delta, denoms, f, du, dtheta, dq
+    )
+
+
+def _finish_surface_conditions(param_set, Linv, delta, denoms, f, du, dtheta, dq):
+    """Shared epilogue of :func:`surface_conditions`: stars, Obukhov
+    length, and the convergence monitor from the solved ``Linv``."""
+    kappa = param_set.von_karman_const
     denom_m, denom_s = denoms(Linv)
     u_star = kappa * du / denom_m
     theta_star = kappa * dtheta / denom_s

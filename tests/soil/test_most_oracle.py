@@ -421,3 +421,49 @@ def test_flux_pipeline_against_independent_solver():
         assert float(got_evol) == pytest.approx(e_vol, rel=1e-7), (
             f"E at vartheta_l={vartheta_l}, T={T_sfc}"
         )
+
+
+def test_illinois_method_matches_multisection_on_converged_columns():
+    """The alternative f32 Illinois solver (measured SLOWER in-kernel —
+    its 16-eval serial chain does not overlap; kept as the documented
+    resolution of the issue-vs-latency question, benchmarks/RESULTS.md)
+    must agree with the multisection solve wherever both converge, and
+    flag the same decoupling columns via the residual."""
+    import landhydrology_tpu.models.soil.surface_fluxes as sf
+    from landhydrology_tpu.constants import default_earth_param_set as ps
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    f32 = jnp.float32
+    args = (
+        jnp.asarray(rng.uniform(0.2, 8.0, n), dtype=f32),     # u_atm
+        jnp.asarray(rng.uniform(280.0, 310.0, n), dtype=f32),  # theta_atm
+        jnp.asarray(rng.uniform(0.001, 0.02, n), dtype=f32),   # q_atm
+        jnp.zeros((n,), dtype=f32),                            # u_sfc
+        jnp.asarray(rng.uniform(275.0, 315.0, n), dtype=f32),  # theta_sfc
+        jnp.asarray(rng.uniform(0.001, 0.02, n), dtype=f32),   # q_sfc
+        jnp.full((n,), 2.0, dtype=f32),                        # z_atm
+        jnp.full((n,), 0.001, dtype=f32),                      # z_0m
+        jnp.full((n,), 0.001, dtype=f32),                      # z_0s
+        jnp.asarray(rng.uniform(280.0, 310.0, n), dtype=f32),  # theta_scale
+    )
+    assert sf._F32_METHOD == "multisection"  # the production default
+    r_m = sf.surface_conditions(ps, *args)
+    try:
+        sf._F32_METHOD = "illinois"
+        r_i = sf.surface_conditions(ps, *args)
+    finally:
+        sf._F32_METHOD = "multisection"
+
+    rm = np.asarray(r_m["residual"])
+    ri = np.asarray(r_i["residual"])
+    ok = (rm < 1e-2) & (ri < 1e-2)
+    assert ok.sum() > 0.7 * n  # most of the random grid converges
+    for i in range(3):
+        a = np.asarray(r_m["x_star"][i])[ok]
+        b = np.asarray(r_i["x_star"][i])[ok]
+        rel = np.abs(a - b) / (np.abs(a) + 1e-8)
+        assert rel.max() < 1e-4, i
+    # no convergence regression: wherever multisection converged,
+    # Illinois (at its default iteration count) converged too
+    assert not ((rm < 1e-2) & (ri >= 1e-2)).any()
