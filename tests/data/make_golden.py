@@ -111,6 +111,24 @@ def main():
         t = t + dt5
     _save("golden_lagged_f64.npz", Y5, t)
 
+    # 6. implicit TR-BDF2 (Thomas backend) at dt far beyond the explicit
+    # CFL — freezes the Newton/tridiagonal numerics (clamp, boundary
+    # boosts, elimination order); the PCR backend and the fused kernel are
+    # regression-tested against this same file at solver-appropriate
+    # tolerances
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    model6, Y6, Ya6, _ = build_model_and_state(jnp.float64)
+    grid6 = make_function_space(model6.domain, jnp.float64)
+    rhs6 = make_rhs(model6, grid6)
+    st6 = TRBDF2Soil(model=model6, grid=grid6, iters=3, tridiag="thomas")
+    dt6 = 120.0  # 12x the explicit DT of the coupled golden
+    t = jnp.asarray(0.0)
+    for _ in range(N_STEPS // 4):
+        Y6 = st6.step(rhs6, Y6, Ya6, t, jnp.asarray(dt6))
+        t = t + dt6
+    _save("golden_implicit_f64.npz", Y6, t)
+
 
 if __name__ == "__main__":
     main()

@@ -249,3 +249,55 @@ def test_lagged_production_mode_matches_golden_both_engines():
             np.asarray(Yp["soil"][k]), golden[k], rtol=1e-12, atol=1e-16,
             err_msg=f"pallas/{k}",
         )
+
+
+GOLDEN_IMPLICIT = os.path.join(
+    os.path.dirname(__file__), "data", "golden_implicit_f64.npz"
+)
+
+
+def test_implicit_trbdf2_matches_golden_both_backends_and_engines():
+    """TR-BDF2 at 12x the coupled golden's dt has its own frozen
+    trajectory: the Thomas backend reproduces it exactly (XLA and fused
+    kernel), and the PCR backend lands within the Newton-convergence
+    neighborhood (different elimination order, same fixed point)."""
+    from tests.data.golden_config import build_model_and_state
+    from landhydrology_tpu.imex import TRBDF2Soil
+
+    golden = np.load(GOLDEN_IMPLICIT)
+    model, Y, Ya, _ = build_model_and_state(jnp.float64)
+    grid = make_function_space(model.domain, jnp.float64)
+    n, dt = N_STEPS // 4, 120.0
+
+    def run_xla(st):
+        rhs = make_rhs(model, grid)
+        Yc, t = Y, jnp.asarray(0.0)
+        for _ in range(n):
+            Yc = st.step(rhs, Yc, Ya, t, jnp.asarray(dt))
+            t = t + dt
+        return Yc
+
+    st_th = TRBDF2Soil(model=model, grid=grid, iters=3, tridiag="thomas")
+    Yx = run_xla(st_th)
+    for k in ("vartheta_l", "theta_i", "rho_e_int"):
+        np.testing.assert_allclose(
+            np.asarray(Yx["soil"][k]), golden[k], rtol=1e-13, atol=1e-18,
+            err_msg=f"thomas-xla/{k}",
+        )
+
+    fused = make_fused_column_run(
+        model, st_th, dt=dt, steps_per_call=n, tile_cols=8, interpret=True
+    )
+    Yp = fused(Y, 0.0)
+    for k in ("vartheta_l", "theta_i", "rho_e_int"):
+        np.testing.assert_allclose(
+            np.asarray(Yp["soil"][k]), golden[k], rtol=1e-12, atol=1e-16,
+            err_msg=f"thomas-fused/{k}",
+        )
+
+    st_pcr = TRBDF2Soil(model=model, grid=grid, iters=3, tridiag="pcr")
+    Yq = run_xla(st_pcr)
+    np.testing.assert_allclose(
+        np.asarray(Yq["soil"]["vartheta_l"]), golden["vartheta_l"],
+        rtol=0, atol=1e-9,
+    )
