@@ -177,12 +177,20 @@ class Simulation:
             from landhydrology_tpu.ops.pallas import make_fused_column_run
 
             self._fused_interpret = _jax.default_backend() != "tpu"
+            # clamp the tile to the batch so small-ncol configs just work
+            # (the kernel requires ncol % tile_cols == 0; a 512 default on
+            # a 128-column batch would otherwise fail at run time)
+            import numpy as _np
+
+            soil_m = model.soil if is_land else model
+            ncol_m = int(_np.prod(soil_m.domain.batch_shape) or 1)
+            tile_m = min(self._tile_cols, ncol_m)
             self._fused_factory = lambda spc: make_fused_column_run(
                 model,
                 stepper,
                 dt=self.dt,
                 steps_per_call=spc,
-                tile_cols=self._tile_cols,
+                tile_cols=tile_m,
                 interpret=self._fused_interpret,
             )
 

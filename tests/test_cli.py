@@ -194,3 +194,24 @@ def test_cli_trbdf2_and_adaptive(example_cfg):
     d2 = np.load(out2)
     assert d2["vartheta_l"].shape[0] == 2  # initial + final
     assert np.all(np.isfinite(d2["vartheta_l"]))
+
+
+def test_cli_implicit_stepper_with_tridiag_backend(example_cfg):
+    """The simulation config's 'tridiag' key selects the tridiagonal
+    backend of the implicit steppers (thomas | pcr)."""
+    cfg, tmp = example_cfg
+    cfg["simulation"] = {
+        "dt": 100.0,
+        "t_final": 300.0,
+        "stepper": "TRBDF2Soil",
+        "iters": 2,
+        "tridiag": "pcr",
+    }
+    cfg["output"] = {"path": str(tmp / "traj_implicit.npz")}
+    cfg_path = tmp / "run_implicit.json"
+    cfg_path.write_text(json.dumps(cfg))
+    model, stepper, Y, Ya, sim_kwargs, _ = cli.load_run(str(cfg_path))
+    assert type(stepper).__name__ == "TRBDF2Soil"
+    assert stepper.tridiag == "pcr"
+    assert stepper.iters == 2
+    assert cli.cmd_run(str(cfg_path)) == 0
