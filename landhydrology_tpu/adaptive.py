@@ -315,37 +315,28 @@ def run_adaptive_fused(
     dt0 = jnp.asarray(dt0, dtype=dtype)
     spc = int(steps_per_call)
 
+    forcing_kwargs = {}
     if forcing is not None:
         if forcing_dt is None:
             raise ValueError("forcing requires forcing_dt (the row spacing)")
         forcing = {k: jnp.asarray(v, dtype=dtype) for k, v in forcing.items()}
         n_rows = next(iter(forcing.values())).shape[0]
-        fused = make_fused_column_run(
-            model,
-            stepper,
-            dt=float(dt0),
-            steps_per_call=spc,
-            tile_cols=tile_cols,
-            interpret=interpret,
+        forcing_kwargs = dict(
             forcing_fields=tuple(sorted(forcing)),
             forcing_time_grid=(float(forcing_t0), float(forcing_dt), n_rows),
         )
+    fused = make_fused_column_run(
+        model,
+        stepper,
+        dt=float(dt0),
+        steps_per_call=spc,
+        tile_cols=tile_cols,
+        interpret=interpret,
+        **forcing_kwargs,
+    )
 
-        def run_segment(Y, t, dt):
-            return fused(Y, t, forcing=forcing, dt_run=dt)
-
-    else:
-        fused = make_fused_column_run(
-            model,
-            stepper,
-            dt=float(dt0),
-            steps_per_call=spc,
-            tile_cols=tile_cols,
-            interpret=interpret,
-        )
-
-        def run_segment(Y, t, dt):
-            return fused(Y, t, dt_run=dt)
+    def run_segment(Y, t, dt):
+        return fused(Y, t, forcing=forcing, dt_run=dt)
 
     p1 = float(getattr(stepper, "order", 3)) + 1.0
     k_p = config.k_p if config.k_p is not None else 0.7 / p1

@@ -132,8 +132,6 @@ class TimeForcedStepper(AbstractTimestepper):
         return self.inner.unconditionally_stable
 
     def step(self, rhs, Y: dict, Ya: dict, t: Array, dt: Array) -> dict:
-        import jax.numpy as jnp
-
         model = self.model
         atmos_keys, has_precip = _split_routing(model, tuple(self.tables))
         n_rows = next(iter(self.tables.values())).shape[0]
